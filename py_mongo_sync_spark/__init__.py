@@ -1,0 +1,21 @@
+"""py_mongo_sync_spark — a PySpark-native CDC / incremental-ingest engine.
+
+Brand-new engine with the capabilities of caosiyang/py-mongo-sync (the
+reference, a MongoDB oplog-tailing replicator), re-expressed Spark-first:
+
+- snapshot load + oplog-style change-event stream (``{ts, op, ns, doc}``)
+- Structured Streaming ``foreachBatch`` apply with last-writer-wins dedup
+- MERGE INTO a bucketed copy-on-write lake table keyed on
+  ``(conv_id, turn_idx)`` (Iceberg-style semantics built from scratch —
+  no Iceberg jar in this environment)
+- per-partition high-watermark checkpointing + lineage/metrics
+- namespace filter/rename, field projection, schema evolution
+- exactly-once table state across restarts (idempotent MERGE + batch-id guard)
+
+Reference semantics cited per-module as ``/root/reference/<file>:<line>``.
+"""
+
+__version__ = "0.1.0"
+
+from py_mongo_sync_spark.config import SyncConfig  # noqa: F401
+from py_mongo_sync_spark.plans.lake import LakeTable  # noqa: F401

@@ -1,0 +1,94 @@
+"""CheckpointLog — per-partition high-watermark + lineage/metrics table.
+
+Reference analogue: the 8-byte optime file flushed every 10 s
+(/root/reference/mongosync/optime_logger.py:21-40,
+common_syncer.py:263-272) and the progress counters
+(/root/reference/mongosync/progress_logger.py:31-86). Upgraded to a real
+table: one row per (batch_id, source partition) with the max applied ts,
+event count and wall time, appended atomically after each MERGE commit so
+any restart can resume from ``max(max_ts)`` and audit full lineage.
+
+Storage: append-only parquet, one file per batch, committed via atomic
+rename — same crash-safety argument as the lake manifest. The reference
+writes its optime AFTER apply (at-least-once on crash) and relies on
+idempotent upserts; we do the same — a batch whose checkpoint rows are
+missing re-runs, and the LakeTable batch-id guard makes the re-MERGE a
+no-op.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from py_mongo_sync_spark.schema import CHECKPOINT_SCHEMA
+
+
+class CheckpointLog:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            f.endswith(".parquet") for f in os.listdir(self.path)
+        )
+
+    def append(self, rows: list[dict]) -> None:
+        """Append checkpoint rows for one committed batch (driver-side: a
+        handful of rows per batch — partition metrics, never row data)."""
+        if not rows:
+            return
+        os.makedirs(self.path, exist_ok=True)
+        df = self.spark.createDataFrame(
+            [
+                (
+                    int(r["batch_id"]),
+                    int(r["partition_id"]),
+                    None if r["max_ts"] is None else int(r["max_ts"]),
+                    int(r["n_events"]),
+                    int(r["wall_ms"]),
+                    int(r["committed_at_seq"]),
+                )
+                for r in rows
+            ],
+            CHECKPOINT_SCHEMA,
+        )
+        tmp = self.path + f".tmp.{uuid.uuid4().hex}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for fn in os.listdir(tmp):
+            if fn.endswith(".parquet"):
+                os.replace(
+                    os.path.join(tmp, fn),
+                    os.path.join(self.path, f"batch-{rows[0]['batch_id']:010d}-{uuid.uuid4().hex}.parquet"),
+                )
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def read(self) -> DataFrame:
+        if not self.exists():
+            return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
+        return self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(self.path)
+
+    def high_watermark(self) -> int | None:
+        """Resume point: max applied ts across all committed batches
+        (reference: OptimeLogger.read, optime_logger.py:31-40)."""
+        if not self.exists():
+            return None
+        row = self.read().agg({"max_ts": "max"}).first()
+        return None if row[0] is None else int(row[0])
+
+    def assert_not_stale(self, first_event_ts: int) -> None:
+        """Abort if the stream's history no longer covers the resume point —
+        port of the first-event staleness check
+        (/root/reference/mongosync/mongo/syncer.py:277-284: if the first
+        tailed oplog entry isn't the one we checkpointed, the oplog rolled
+        over and silent data loss would follow)."""
+        wm = self.high_watermark()
+        if wm is not None and first_event_ts > wm + 1:
+            raise RuntimeError(
+                f"checkpoint is stale: resume watermark {wm} but stream "
+                f"starts at ts {first_event_ts}; events were lost"
+            )

@@ -1,0 +1,401 @@
+"""LakeTable — a minimal bucketed copy-on-write table format with MERGE.
+
+The environment has no Iceberg/Delta jar, so the MERGE-capable, ACID,
+schema-evolving sink the CDC engine needs is built from scratch in pure
+PySpark + parquet. Semantically it is the subset of Iceberg the reference's
+destination requires:
+
+- **atomic commits** via versioned JSON manifests + an atomic pointer swap
+  (``os.replace``) — a reader always sees a complete version;
+- **snapshot isolation / time travel** — every version's file set is
+  immutable; readers pin a manifest;
+- **bucket layout** — data hash-bucketed by ``pmod(xxhash64(key), n_buckets)``
+  so a MERGE rewrites only the buckets containing changed keys (Iceberg
+  copy-on-write with bucket partition transform). At 100 TB with e.g. 4096
+  buckets, a microbatch touching k conversations rewrites ≤ k buckets of
+  ~25 GB each in parallel, not the table. The bucket expression is the Spark
+  analogue of the reference's murmur3(_id) mod n fan-out
+  (/root/reference/mongosync/multi_oplog_replayer.py:69-78, hash :123-131);
+- **idempotent MERGE** — committed ``batch_id``s recorded in the manifest;
+  re-applying a batch is a no-op (exactly-once table state, replacing the
+  reference's duplicate-key-tolerance window,
+  /root/reference/mongosync/mongo/syncer.py:303-317);
+- **monotone-ts guard** — a MERGE source row only beats a target row with
+  ``source.ts >= target.ts``, mirroring the strictly-forward ``_last_optime``
+  (/root/reference/mongosync/common_syncer.py:50);
+- **schema evolution** — manifests carry the schema; new nullable columns
+  merge in, old files read back NULL for them (Iceberg ``mergeSchema``;
+  replaces oplog ``c`` command handling,
+  /root/reference/mongosync/mongo/handler.py:156-163).
+
+Single-writer by design: Structured Streaming runs ``foreachBatch`` apply
+functions serially. (Iceberg adds optimistic retry for multi-writer; out of
+scope here.)
+
+MERGE semantics (column-expression form of
+/root/reference/mongosync/multi_oplog_replayer.py:99-121 and
+mongo/handler.py:137-167):
+
+====================  ==========================================
+source net-event      effect on target row with same key
+====================  ==========================================
+op='d'                delete (if source.ts >= target.ts)
+upsert, not patch     replace row / insert if absent
+patch (is_patch)      per-column ``coalesce(src, tgt)``; **no-op
+                      if key absent** (UpdateOne without upsert)
+====================  ==========================================
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+BUCKET_COL = "_bucket"
+DELETED_COL = "_deleted"
+_OP = "_op"
+_PATCH = "_is_patch"
+
+#: Columns a MERGE source may carry beyond the table columns.
+MERGE_META_COLS = (_OP, _PATCH)
+
+
+def bucket_expr(key_cols: list[str], n_buckets: int):
+    """Deterministic bucket id for a key — Spark-side hash partitioning
+    (analogue of murmur3 fan-out, multi_oplog_replayer.py:123-131)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
+
+
+class LakeTable:
+    """Handle on a lake table directory. Cheap to construct; all state is
+    on disk in the manifest chain."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # ------------------------------------------------------------------ io
+
+    @property
+    def _versions_dir(self) -> str:
+        return os.path.join(self.path, "_versions")
+
+    @property
+    def _latest_ptr(self) -> str:
+        return os.path.join(self.path, "_LATEST")
+
+    def _data_dir(self, version: int) -> str:
+        return os.path.join(self.path, "data", f"v{version:08d}")
+
+    def exists(self) -> bool:
+        return os.path.exists(self._latest_ptr)
+
+    def latest_version(self) -> int:
+        with open(self._latest_ptr) as f:
+            return int(f.read().strip())
+
+    def manifest(self, version: int | None = None) -> dict:
+        if version is None:
+            version = self.latest_version()
+        with open(os.path.join(self._versions_dir, f"v{version:08d}.json")) as f:
+            return json.load(f)
+
+    def schema(self, version: int | None = None) -> T.StructType:
+        return T.StructType.fromJson(self.manifest(version)["schema"])
+
+    def committed_batch_ids(self) -> set[int]:
+        return set(self.manifest()["batch_ids"])
+
+    def _commit(self, manifest: dict) -> None:
+        """Atomic commit: manifest file first, then pointer swap. A crash
+        between the two leaves the table at the old version — the orphan
+        manifest/data files are harmless and re-writable."""
+        os.makedirs(self._versions_dir, exist_ok=True)
+        version = manifest["version"]
+        mpath = os.path.join(self._versions_dir, f"v{version:08d}.json")
+        tmp = mpath + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)
+        ptmp = self._latest_ptr + f".tmp.{uuid.uuid4().hex}"
+        with open(ptmp, "w") as f:
+            f.write(str(version))
+        os.replace(ptmp, self._latest_ptr)
+
+    # --------------------------------------------------------------- write
+
+    def _write_buckets(
+        self, df: DataFrame, version: int, n_buckets: int, files_per_bucket: int
+    ) -> dict[str, list[str]]:
+        """Write rows (must already carry BUCKET_COL) partitioned by bucket;
+        return {bucket: [absolute files]}. ``repartition`` on the bucket
+        (+ an optional intra-bucket salt for file-count control) keeps each
+        output file single-bucket, so the manifest's file↔bucket map enables
+        bucket pruning on later MERGEs."""
+        out = self._data_dir(version)
+        if files_per_bucket > 1:
+            part_cols = [F.col(BUCKET_COL), F.pmod(F.xxhash64(F.rand(seed=0)), F.lit(files_per_bucket))]
+            df = df.repartition(n_buckets * files_per_bucket, *part_cols)
+        else:
+            df = df.repartition(n_buckets, BUCKET_COL)
+        df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(out)
+        buckets: dict[str, list[str]] = {}
+        if os.path.exists(out):
+            for d in os.listdir(out):
+                if d.startswith(f"{BUCKET_COL}="):
+                    b = d.split("=", 1)[1]
+                    files = [
+                        os.path.join(out, d, fn)
+                        for fn in os.listdir(os.path.join(out, d))
+                        if fn.endswith(".parquet")
+                    ]
+                    buckets[b] = sorted(files)
+        return buckets
+
+    def create_or_replace(
+        self,
+        df: DataFrame,
+        key_cols: list[str],
+        ts_col: str = "ts",
+        n_buckets: int = 16,
+        files_per_bucket: int = 1,
+    ) -> "LakeTable":
+        """Initial snapshot load (reference K1: idempotent full load,
+        /root/reference/mongosync/mongo/syncer.py:104-123 — re-runs converge
+        because the whole version is replaced atomically)."""
+        version = (self.latest_version() + 1) if self.exists() else 1
+        data_cols = df.columns
+        dfb = df.withColumn(DELETED_COL, F.lit(False)).withColumn(
+            BUCKET_COL, bucket_expr(key_cols, n_buckets)
+        )
+        buckets = self._write_buckets(dfb, version, n_buckets, files_per_bucket)
+        manifest = {
+            "version": version,
+            "schema": df.schema.jsonValue(),
+            "columns": data_cols,
+            "key_cols": key_cols,
+            "ts_col": ts_col,
+            "n_buckets": n_buckets,
+            "files_per_bucket": files_per_bucket,
+            "buckets": buckets,
+            "batch_ids": [],
+        }
+        self._commit(manifest)
+        return self
+
+    # ---------------------------------------------------------------- read
+
+    def read(
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        include_tombstones: bool = False,
+    ) -> DataFrame:
+        """Scan the table (optionally one snapshot version / bucket subset).
+        Bucket pruning = reading only the manifest-listed files; the explicit
+        schema makes files that predate an evolved column yield NULLs.
+
+        Deleted keys persist as hidden tombstone rows (``_deleted=true``) so
+        a replayed/out-of-order stale insert can never resurrect them — the
+        monotone-ts guard applies to deletes exactly like to updates. Normal
+        reads filter them out; MERGE reads them."""
+        m = self.manifest(version)
+        schema = T.StructType.fromJson(m["schema"])
+        phys = T.StructType(schema.fields + [T.StructField(DELETED_COL, T.BooleanType(), True)])
+        bmap = m["buckets"]
+        keys = [str(b) for b in buckets] if buckets is not None else list(bmap)
+        files = [f for k in keys for f in bmap.get(k, [])]
+        if not files:
+            df = self.spark.createDataFrame([], phys)
+        else:
+            df = self.spark.read.schema(phys).parquet(*files)
+        if include_tombstones:
+            return df
+        return df.where(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
+
+    # --------------------------------------------------------------- merge
+
+    def merge(self, source: DataFrame, batch_id: int) -> dict:
+        """MERGE INTO this table. ``source`` must have exactly one row per
+        key (LWW-deduped, see operators/dedup.py) with table columns plus
+        ``_op`` ('d' delete / anything else upsert) and ``_is_patch``.
+
+        Returns commit stats. Idempotent on ``batch_id``.
+        """
+        m = self.manifest()
+        if batch_id in m["batch_ids"]:
+            return {"skipped": True, "batch_id": batch_id, "version": m["version"]}
+
+        key_cols: list[str] = m["key_cols"]
+        ts_col: str = m["ts_col"]
+        n_buckets: int = m["n_buckets"]
+        schema = T.StructType.fromJson(m["schema"])
+        table_cols = [f.name for f in schema.fields]
+
+        # --- schema evolution: batch columns absent from the table schema
+        # merge in as nullable iff the batch actually carries values there
+        # (Iceberg mergeSchema; replaces oplog 'c' handling,
+        # mongo/handler.py:156-163).
+        src_schema = {f.name: f for f in source.schema.fields}
+        new_cols = [
+            c for c in source.columns
+            if c not in table_cols and c not in MERGE_META_COLS and c != BUCKET_COL
+        ]
+        if new_cols:
+            nonnull = source.select(
+                [F.max(F.col(c).isNotNull().cast("int")).alias(c) for c in new_cols]
+            ).first()
+            evolved = [c for c in new_cols if (nonnull[c] or 0) > 0]
+            for c in evolved:
+                schema = schema.add(T.StructField(c, src_schema[c].dataType, True))
+            table_cols = [f.name for f in schema.fields]
+
+        src = source.select(
+            *[
+                F.col(c).cast(schema[c].dataType) if c in source.columns
+                else F.lit(None).cast(schema[c].dataType).alias(c)
+                for c in table_cols
+            ],
+            F.col(_OP),
+            F.col(_PATCH),
+        ).withColumn(BUCKET_COL, bucket_expr(key_cols, n_buckets))
+
+        # --- bucket pruning: only buckets containing changed keys take part.
+        # The collect is tiny (≤ n_buckets ints), never row data.
+        changed = sorted(
+            r[0] for r in src.select(BUCKET_COL).distinct().collect()
+        )
+        n_src = src.count() if not changed else None  # empty batch fast-path
+        if not changed:
+            new_manifest = dict(m, version=m["version"] + 1,
+                                batch_ids=m["batch_ids"] + [batch_id])
+            self._commit(new_manifest)
+            return {"skipped": False, "batch_id": batch_id, "n_source": n_src or 0,
+                    "changed_buckets": 0, "version": new_manifest["version"]}
+
+        tgt = self.read(buckets=changed, include_tombstones=True).withColumn(
+            BUCKET_COL, bucket_expr(key_cols, n_buckets)
+        )
+
+        # --- the MERGE itself: one full-outer equi-join on the key (Catalyst
+        # picks the physical join; both sides are hash-distributed on the
+        # same key so AQE can plan it well), then pure column expressions.
+        t = tgt.alias("t")
+        s = src.alias("s")
+        joined = t.join(s, on=[t[c].eqNullSafe(s[c]) for c in key_cols], how="full_outer")
+
+        s_key = F.col(f"s.{key_cols[0]}")
+        t_key = F.col(f"t.{key_cols[0]}")
+        matched = s_key.isNotNull() & t_key.isNotNull()
+        src_only = s_key.isNotNull() & t_key.isNull()
+        # monotone-ts guard: stale replayed rows never beat newer target rows
+        # (reference: strictly-forward _last_optime, common_syncer.py:50).
+        src_wins = F.col(f"s.{ts_col}") >= F.col(f"t.{ts_col}")
+        is_del = F.col(f"s.{_OP}") == "d"
+        is_patch = F.col(f"s.{_PATCH}")
+        t_dead = F.coalesce(F.col(f"t.{DELETED_COL}"), F.lit(False))
+
+        # deletes become tombstones (never physically dropped here — see
+        # expire_versions/compact); a patch never resurrects a dead key
+        # (UpdateOne without upsert); a replace does (ReplaceOne upsert=True).
+        applies = matched & src_wins & (~is_patch | ~t_dead)
+        keep = t_key.isNotNull() | (src_only & ~is_patch)
+
+        deleted_out = (
+            F.when(applies & is_del, F.lit(True))
+            .when(applies & ~is_patch, F.lit(False))
+            .when(src_only & is_del, F.lit(True))
+            .when(src_only, F.lit(False))
+            .otherwise(t_dead)
+        ).alias(DELETED_COL)
+
+        def out_col(c: str):
+            tc, sc = F.col(f"t.{c}"), F.col(f"s.{c}")
+            return (
+                F.when(applies & is_patch, F.coalesce(sc, tc))
+                .when(applies & ~is_del, sc)
+                .when(applies & is_del, sc if c == ts_col else tc)
+                .when(src_only, sc)
+                .otherwise(tc)
+            ).alias(c)
+
+        merged = joined.where(keep).select(
+            *[out_col(c) for c in table_cols],
+            deleted_out,
+            F.coalesce(F.col(f"t.{BUCKET_COL}"), F.col(f"s.{BUCKET_COL}")).alias(BUCKET_COL),
+        )
+
+        version = m["version"] + 1
+        buckets = dict(m["buckets"])
+        for b in changed:
+            buckets[str(b)] = []
+        new_files = self._write_buckets(
+            merged, version, n_buckets, m.get("files_per_bucket", 1)
+        )
+        buckets.update(new_files)
+        new_manifest = dict(
+            m,
+            version=version,
+            schema=schema.jsonValue(),
+            columns=table_cols,
+            buckets=buckets,
+            batch_ids=m["batch_ids"] + [batch_id],
+        )
+        self._commit(new_manifest)
+        return {
+            "skipped": False,
+            "batch_id": batch_id,
+            "changed_buckets": len(changed),
+            "version": version,
+        }
+
+    # -------------------------------------------------------------- utils
+
+    def vacuum_tombstones(self, before_ts) -> dict:
+        """Physically drop tombstones older than ``before_ts`` (a safe
+        horizon: no replay can reach below the retained stream history).
+        Full-table rewrite as one new version — run rarely, like Iceberg
+        ``rewrite_data_files``."""
+        m = self.manifest()
+        version = m["version"] + 1
+        df = self.read(include_tombstones=True).withColumn(
+            BUCKET_COL, bucket_expr(m["key_cols"], m["n_buckets"])
+        )
+        kept = df.where(
+            ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+            | (F.col(m["ts_col"]) >= F.lit(before_ts))
+        )
+        buckets = self._write_buckets(kept, version, m["n_buckets"], m.get("files_per_bucket", 1))
+        all_buckets = {str(b): [] for b in range(m["n_buckets"])}
+        all_buckets.update(buckets)
+        self._commit(dict(m, version=version, buckets=all_buckets))
+        return {"version": version}
+
+    def expire_versions(self, keep: int = 3) -> int:
+        """Drop data/manifests older than the newest ``keep`` versions that
+        are not referenced by them (Iceberg ``expire_snapshots``)."""
+        latest = self.latest_version()
+        keep_versions = set(range(max(1, latest - keep + 1), latest + 1))
+        referenced: set[str] = set()
+        for v in keep_versions:
+            try:
+                for files in self.manifest(v)["buckets"].values():
+                    referenced.update(files)
+            except FileNotFoundError:
+                continue
+        removed = 0
+        data_root = os.path.join(self.path, "data")
+        if os.path.isdir(data_root):
+            for vdir in list(os.listdir(data_root)):
+                full = os.path.join(data_root, vdir)
+                for root, _dirs, files in os.walk(full):
+                    for fn in files:
+                        p = os.path.join(root, fn)
+                        if fn.endswith(".parquet") and p not in referenced:
+                            os.remove(p)
+                            removed += 1
+        return removed

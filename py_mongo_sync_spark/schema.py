@@ -1,0 +1,86 @@
+"""Canonical schemas for the transcripts payload, oplog events, and checkpoints.
+
+Reference data model: schemaless BSON docs keyed by ``_id``
+(/root/reference/mongosync/mongo/syncer.py:104-105) and oplog entries
+``{ts, op, ns, o, o2}`` (/root/reference/mongosync/mongo/handler.py:137-167).
+Here the payload is the fixed transcripts schema from BASELINE.json
+``input_hint``; open-ended extras (the ``tool`` column arriving mid-stream)
+are handled via schema evolution in :mod:`py_mongo_sync_spark.plans.lake`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+#: Primary key of the transcripts table (reference analogue: ``_id``).
+KEY_COLS = ["conv_id", "turn_idx"]
+
+#: Monotone ordering / LWW column (reference analogue: oplog ``ts``,
+#: BSON Timestamp packed at /root/reference/mongosync/optime_logger.py:25-28).
+TS_COL = "ts"
+
+#: The transcripts table (BASELINE.json input_hint). ``tool`` is nullable and
+#: absent in pre-evolution fixtures.
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), False),
+    ]
+)
+
+#: Epoch (seconds) from which all deterministic fixture timestamps derive —
+#: ``row ts = EPOCH + optime`` (no wall-clock anywhere; driver constraint).
+FIXTURE_EPOCH = 1_700_000_000
+
+#: Transcript schema before the ``tool`` column evolved in.
+TRANSCRIPT_SCHEMA_V0 = T.StructType(
+    [f for f in TRANSCRIPT_SCHEMA.fields if f.name != "tool"]
+)
+
+#: Raw change-event envelope, as serialized on the wire (JSON lines / Kafka).
+#: ``op`` alphabet is the reference's: i/u/d/c/n
+#: (/root/reference/mongosync/mongo/handler.py:143-165).
+OPLOG_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("ns", T.StringType(), False),
+        T.StructField("doc", T.StringType(), True),
+    ]
+)
+
+#: Watermark / lineage / metrics table appended once per (batch, partition).
+#: Reference analogue: the 8-byte optime file
+#: (/root/reference/mongosync/optime_logger.py:21-40) plus progress counters
+#: (/root/reference/mongosync/progress_logger.py:31-86).
+CHECKPOINT_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_id", T.LongType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("max_ts", T.LongType(), True),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("wall_ms", T.LongType(), False),
+        T.StructField("committed_at_seq", T.LongType(), False),
+    ]
+)
+
+
+def payload_parse_schema(with_tool: bool = True) -> T.StructType:
+    """Schema produced by the vectorized doc-parse UDF: payload columns plus
+    the patch marker. ``is_patch`` marks a ``$set``-style partial update
+    (reference: ``$``-key detection at
+    /root/reference/mongosync/multi_oplog_replayer.py:105-110)."""
+    fields = [
+        T.StructField("conv_id", T.StringType(), True),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+    ]
+    if with_tool:
+        fields.append(T.StructField("tool", T.StringType(), True))
+    fields.append(T.StructField("is_patch", T.BooleanType(), True))
+    return T.StructType(fields)

@@ -280,6 +280,10 @@ class LakeTable:
         tgt = self.read(buckets=changed, include_tombstones=True).withColumn(
             BUCKET_COL, bucket_expr(key_cols, n_buckets)
         )
+        # target predates freshly-evolved columns → NULL-backfill them
+        for c in table_cols:
+            if c not in tgt.columns:
+                tgt = tgt.withColumn(c, F.lit(None).cast(schema[c].dataType))
 
         # --- the MERGE itself: one full-outer equi-join on the key (Catalyst
         # picks the physical join; both sides are hash-distributed on the

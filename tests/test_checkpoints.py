@@ -1,0 +1,56 @@
+"""Checkpoint/watermark table tests — port of the optime round-trip tests
+(/root/reference/mongosync/optime_logger.py:56-78, incl. the max-uint32
+edge) onto the lineage table, plus the stale-resume gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from py_mongo_sync_spark.plans.checkpoints import CheckpointLog
+
+MAX_U32 = 2**32 - 1
+
+
+def _row(batch_id, pid, max_ts, n=10):
+    return {
+        "batch_id": batch_id, "partition_id": pid, "max_ts": max_ts,
+        "n_events": n, "wall_ms": 5, "committed_at_seq": batch_id,
+    }
+
+
+def test_roundtrip_and_watermark(spark, tmp_path):
+    cp = CheckpointLog(spark, str(tmp_path / "cp"))
+    assert cp.high_watermark() is None
+    cp.append([_row(0, 0, 100), _row(0, 1, 105)])
+    cp.append([_row(1, 0, 230)])
+    assert cp.high_watermark() == 230
+    pdf = cp.read().toPandas()
+    assert len(pdf) == 3 and set(pdf["batch_id"]) == {0, 1}
+
+
+def test_max_uint32_optime_edge(spark, tmp_path):
+    # the reference packs optimes as 2×uint32 (optime_logger.py:25-28);
+    # our long column must round-trip the boundary losslessly
+    cp = CheckpointLog(spark, str(tmp_path / "cp"))
+    cp.append([_row(0, 0, MAX_U32)])
+    assert cp.high_watermark() == MAX_U32
+    cp.append([_row(1, 0, MAX_U32 + 7)])  # beyond uint32 — we don't wrap
+    assert cp.high_watermark() == MAX_U32 + 7
+
+
+def test_stale_resume_aborts(spark, tmp_path):
+    cp = CheckpointLog(spark, str(tmp_path / "cp"))
+    cp.append([_row(0, 0, 500)])
+    cp.assert_not_stale(first_event_ts=501)   # contiguous: fine
+    cp.assert_not_stale(first_event_ts=200)   # replayed overlap: fine
+    with pytest.raises(RuntimeError, match="stale"):
+        cp.assert_not_stale(first_event_ts=502)  # gap: history lost
+
+
+def test_append_is_crash_atomic(spark, tmp_path):
+    # each append lands as whole files via atomic rename: a reader never
+    # sees a partial batch. Emulate by interleaving reads.
+    cp = CheckpointLog(spark, str(tmp_path / "cp"))
+    for b in range(5):
+        cp.append([_row(b, p, 100 * b + p) for p in range(4)])
+        assert cp.read().count() == (b + 1) * 4

@@ -1,0 +1,152 @@
+"""LakeTable unit tests: ACID commit, time travel, bucket pruning,
+idempotent MERGE, monotone-ts guard, tombstones, schema evolution, vacuum."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from py_mongo_sync_spark.plans.lake import LakeTable
+
+KEYS = ["conv_id", "turn_idx"]
+
+
+def _mk(spark, tmp_path, rows, n_buckets=4):
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string, ts timestamp")
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create_or_replace(df, key_cols=KEYS, ts_col="ts", n_buckets=n_buckets)
+    return t
+
+
+def _src(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ts timestamp, _op string, _is_patch boolean"
+    )
+
+
+TS = [dt.datetime(2024, 1, 1, 0, 0, s) for s in range(10)]
+
+
+def test_create_read_roundtrip(spark, tmp_path):
+    t = _mk(spark, tmp_path, [("a", 0, "x", TS[0]), ("b", 1, "y", TS[1])])
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t.read().collect()}
+    assert got == {("a", 0): "x", ("b", 1): "y"}
+    assert t.latest_version() == 1
+
+
+def test_merge_upsert_delete_and_time_travel(spark, tmp_path):
+    t = _mk(spark, tmp_path, [("a", 0, "x", TS[0]), ("b", 1, "y", TS[1])])
+    src = _src(spark, [
+        ("a", 0, "x2", TS[2], "u", False),       # update
+        ("c", 2, "new", TS[3], "u", False),      # insert
+        ("b", 1, None, TS[4], "d", False),       # delete
+    ])
+    res = t.merge(src, batch_id=1)
+    assert not res["skipped"]
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t.read().collect()}
+    assert got == {("a", 0): "x2", ("c", 2): "new"}
+    # time travel to v1: pre-merge state intact
+    old = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t.read(version=1).collect()}
+    assert old == {("a", 0): "x", ("b", 1): "y"}
+    # the delete is a tombstone, not a physical drop
+    dead = t.read(include_tombstones=True).where("_deleted").collect()
+    assert [(r["conv_id"], r["turn_idx"]) for r in dead] == [("b", 1)]
+
+
+def test_merge_idempotent_on_batch_id(spark, tmp_path):
+    t = _mk(spark, tmp_path, [("a", 0, "x", TS[0])])
+    src = _src(spark, [("a", 0, "x2", TS[1], "u", False)])
+    assert not t.merge(src, batch_id=7)["skipped"]
+    assert t.merge(src, batch_id=7)["skipped"]
+    assert t.read().first()["text"] == "x2"
+
+
+def test_monotone_ts_guard_blocks_stale_rows(spark, tmp_path):
+    t = _mk(spark, tmp_path, [("a", 0, "newer", TS[5])])
+    stale = _src(spark, [
+        ("a", 0, "old", TS[1], "u", False),
+        ("a", 0, None, TS[2], "d", False),
+    ])
+    # stale replay in two separate batches: neither the old update nor the
+    # old delete may beat the newer row
+    t.merge(stale.where("_op = 'u'"), batch_id=1)
+    t.merge(stale.where("_op = 'd'"), batch_id=2)
+    rows = t.read().collect()
+    assert len(rows) == 1 and rows[0]["text"] == "newer"
+
+
+def test_tombstone_blocks_resurrection(spark, tmp_path):
+    t = _mk(spark, tmp_path, [("a", 0, "x", TS[0])])
+    t.merge(_src(spark, [("a", 0, None, TS[5], "d", False)]), batch_id=1)
+    # replayed stale insert arrives after the delete
+    t.merge(_src(spark, [("a", 0, "zombie", TS[1], "u", False)]), batch_id=2)
+    assert t.read().count() == 0
+    # but a genuinely newer insert resurrects (ReplaceOne upsert semantics)
+    t.merge(_src(spark, [("a", 0, "reborn", TS[7], "u", False)]), batch_id=3)
+    assert t.read().first()["text"] == "reborn"
+
+
+def test_patch_semantics_in_merge(spark, tmp_path):
+    t = _mk(spark, tmp_path, [("a", 0, "x", TS[0])])
+    # patch on existing row: only non-null fields overwrite
+    t.merge(_src(spark, [("a", 0, "patched", TS[1], "u", True)]), batch_id=1)
+    assert t.read().first()["text"] == "patched"
+    # patch on missing key: no-op (UpdateOne without upsert)
+    t.merge(_src(spark, [("nope", 9, "ghost", TS[2], "u", True)]), batch_id=2)
+    assert t.read().count() == 1
+    # patch on tombstoned key: no resurrection
+    t.merge(_src(spark, [("a", 0, None, TS[3], "d", False)]), batch_id=3)
+    t.merge(_src(spark, [("a", 0, "ghost", TS[4], "u", True)]), batch_id=4)
+    assert t.read().count() == 0
+
+
+def test_bucket_pruning_rewrites_only_changed_buckets(spark, tmp_path):
+    rows = [(f"c{i}", 0, "x", TS[0]) for i in range(64)]
+    t = _mk(spark, tmp_path, rows, n_buckets=8)
+    before = t.manifest()["buckets"]
+    res = t.merge(_src(spark, [("c1", 0, "y", TS[1], "u", False)]), batch_id=1)
+    assert res["changed_buckets"] == 1
+    after = t.manifest()["buckets"]
+    unchanged = [b for b in after if after[b] == before[b]]
+    assert len(unchanged) == 7  # 7 of 8 buckets share files with v1 untouched
+
+
+def test_schema_evolution_adds_column(spark, tmp_path):
+    t = _mk(spark, tmp_path, [("a", 0, "x", TS[0])])
+    src = spark.createDataFrame(
+        [("b", 1, "y", TS[1], "calculator", "u", False)],
+        "conv_id string, turn_idx int, text string, ts timestamp, tool string, _op string, _is_patch boolean",
+    )
+    t.merge(src, batch_id=1)
+    got = {(r["conv_id"], r["turn_idx"]): r["tool"] for r in t.read().collect()}
+    assert got == {("a", 0): None, ("b", 1): "calculator"}  # old files read NULL
+    assert "tool" in [f.name for f in t.schema().fields]
+
+
+def test_all_null_new_column_not_evolved(spark, tmp_path):
+    t = _mk(spark, tmp_path, [("a", 0, "x", TS[0])])
+    src = spark.createDataFrame(
+        [("b", 1, "y", TS[1], None, "u", False)],
+        "conv_id string, turn_idx int, text string, ts timestamp, tool string, _op string, _is_patch boolean",
+    )
+    t.merge(src, batch_id=1)
+    assert "tool" not in [f.name for f in t.schema().fields]
+
+
+def test_vacuum_tombstones(spark, tmp_path):
+    t = _mk(spark, tmp_path, [("a", 0, "x", TS[0]), ("b", 1, "y", TS[1])])
+    t.merge(_src(spark, [("a", 0, None, TS[2], "d", False)]), batch_id=1)
+    assert t.read(include_tombstones=True).where("_deleted").count() == 1
+    t.vacuum_tombstones(before_ts=TS[5])
+    assert t.read(include_tombstones=True).where("_deleted").count() == 0
+    assert t.read().count() == 1  # live rows untouched
+
+
+def test_expire_versions_removes_unreferenced_files(spark, tmp_path):
+    t = _mk(spark, tmp_path, [("a", 0, "x", TS[0])])
+    for i in range(1, 4):
+        t.merge(_src(spark, [("a", 0, f"v{i}", TS[i], "u", False)]), batch_id=i)
+    removed = t.expire_versions(keep=1)
+    assert removed > 0
+    assert t.read().first()["text"] == "v3"  # latest still reads fine

@@ -1,0 +1,129 @@
+"""E2E fixture variants from FIXTURES.md: overlap-idempotence, skew,
+schema evolution, filter+rename — each replayed through the real pipeline
+and checked against the sequential pandas oracle."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from py_mongo_sync_spark.check import check_consistency
+from py_mongo_sync_spark.config import SyncConfig
+from py_mongo_sync_spark.schema import KEY_COLS
+from py_mongo_sync_spark.sources.generate import (
+    gen_oplog_events,
+    gen_transcripts_snapshot,
+    oracle_replay,
+)
+from py_mongo_sync_spark.streaming.pipeline import CdcPipeline
+
+
+def _expected(spark, snap, events, cfg=None):
+    pdf = oracle_replay(snap.toPandas(), events.toPandas(), cfg)
+    pdf = pdf.where(pd.notnull(pdf), None)
+    return spark.createDataFrame(pdf)
+
+
+def _check(spark, pipe, snap, events, cfg=None, cols=("role", "text", "ts")):
+    rep = check_consistency(
+        _expected(spark, snap, events, cfg), pipe.table.read(), KEY_COLS, list(cols)
+    )
+    assert rep["ok"], rep
+    return rep
+
+
+def test_overlap_idempotence(spark, tmp_path):
+    """Replay an overlapping prefix after commit — the analogue of the
+    reference's post-initial-sync duplicate tolerance
+    (mongo/syncer.py:303-317): final state must not change."""
+    cfg = SyncConfig(dst_path=str(tmp_path / "l"), checkpoint_path=str(tmp_path / "c"), n_buckets=4)
+    snap = gen_transcripts_snapshot(spark, 30, 6)
+    ev = gen_oplog_events(spark, 30, 6, 1500)
+    pipe = CdcPipeline(spark, cfg)
+    pipe.initial_sync(snap)
+    # three overlapping slices delivered as separate batches
+    pipe.apply_batch(ev.where("ts < 1880"), 0)
+    pipe.apply_batch(ev.where("ts >= 1600 and ts < 2400"), 1)   # overlaps batch 0
+    pipe.apply_batch(ev, 2)                                     # full replay over everything
+    _check(spark, pipe, snap, ev)
+    # and re-delivering a committed batch id is a pure no-op
+    assert pipe.apply_batch(ev, 2)["skipped"]
+
+
+def test_skew_hot_conversation(spark, tmp_path):
+    """One viral conv_id carries ~50% of events (FIXTURES.md `skew`);
+    correctness must hold and the merge must still prune buckets."""
+    cfg = SyncConfig(dst_path=str(tmp_path / "l"), checkpoint_path=str(tmp_path / "c"), n_buckets=8)
+    snap = gen_transcripts_snapshot(spark, 50, 8)
+    ev = gen_oplog_events(spark, 50, 8, 4000, hot_frac=0.5)
+    pipe = CdcPipeline(spark, cfg)
+    pipe.initial_sync(snap)
+    res = pipe.apply_batch(ev, 0)
+    assert res["changed_buckets"] <= cfg.n_buckets
+    _check(spark, pipe, snap, ev)
+    # full-key bucketing spreads the hot conversation's turns over buckets
+    from py_mongo_sync_spark.plans.lake import bucket_expr
+    hot_buckets = (
+        pipe.table.read().where("conv_id = 'conv_000000'")
+        .select(bucket_expr(KEY_COLS, cfg.n_buckets).alias("b")).distinct().count()
+    )
+    assert hot_buckets > 1
+
+
+def test_schema_evolution_mid_stream(spark, tmp_path):
+    """`tool` column appears mid-stream (FIXTURES.md `evolve`): table schema
+    must evolve, earlier rows read NULL, and values match the oracle."""
+    cfg = SyncConfig(dst_path=str(tmp_path / "l"), checkpoint_path=str(tmp_path / "c"), n_buckets=4)
+    snap = gen_transcripts_snapshot(spark, 30, 6, with_tool=False)
+    ev = gen_oplog_events(spark, 30, 6, 2000, evolve_after=1000)
+    pipe = CdcPipeline(spark, cfg)
+    pipe.initial_sync(snap)
+    assert "tool" not in [f.name for f in pipe.table.schema().fields]
+    # split at the evolution point: batch 0 pre-evolution, batch 1 post
+    pipe.apply_batch(ev.where("ts < 2180"), 0)
+    assert "tool" not in [f.name for f in pipe.table.schema().fields]
+    pipe.apply_batch(ev.where("ts >= 2180"), 1)
+    assert "tool" in [f.name for f in pipe.table.schema().fields]
+    _check(spark, pipe, snap, ev, cols=("role", "text", "tool", "ts"))
+    # rows untouched since before the evolution read NULL tool
+    assert pipe.table.read().where("tool is not null").count() > 0
+
+
+def test_filter_and_rename(spark, tmp_path):
+    """Excluded ns dropped, renamed ns remapped (FIXTURES.md
+    `filter_rename`; reference: data_filter + rename_db)."""
+    cfg = SyncConfig(
+        dst_path=str(tmp_path / "l"), checkpoint_path=str(tmp_path / "c"), n_buckets=4,
+        include_colls=frozenset({"chat.transcripts", "chat_src.*"}),
+        db_mapping={"chat_src": "chat"},
+    )
+    snap = gen_transcripts_snapshot(spark, 30, 6)
+    ev = gen_oplog_events(
+        spark, 30, 6, 2000,
+        ns_extra=[("chat_src.transcripts", 20), ("other.junk", 10), ("admin.system.x", 5)],
+    )
+    pipe = CdcPipeline(spark, cfg)
+    pipe.initial_sync(snap)
+    pipe.apply_batch(ev, 0)
+    _check(spark, pipe, snap, ev, cfg)
+    # sanity: the fixture actually exercised all three paths
+    pdf = ev.toPandas()
+    assert (pdf["ns"] == "other.junk").any() and (pdf["ns"] == "chat_src.transcripts").any()
+
+
+def test_field_projection(spark, tmp_path):
+    """Include-fields projection (P6, doc_utils.py:37-49): only configured
+    payload fields survive; others stay NULL in the destination."""
+    cfg = SyncConfig(
+        dst_path=str(tmp_path / "l"), checkpoint_path=str(tmp_path / "c"), n_buckets=4,
+        include_fields=frozenset({"text"}),   # drop role updates
+    )
+    snap = gen_transcripts_snapshot(spark, 10, 4)
+    ev = gen_oplog_events(spark, 10, 4, 300)
+    pipe = CdcPipeline(spark, cfg)
+    pipe.initial_sync(snap)
+    pipe.apply_batch(ev, 0)
+    # every row the stream inserted has NULL role (projected away) but real text
+    inserted = pipe.table.read().where("ts > timestamp_seconds(1700000000 + 1040)")
+    assert inserted.count() > 0
+    assert inserted.where("role is not null").count() == 0
+    assert inserted.where("text is null").count() == 0

@@ -50,6 +50,9 @@ class SyncConfig:
     n_buckets: int = 16
     files_per_bucket: int = 1
     salt_buckets: int = 8
+    #: 'pandas' = Arrow-vectorized UDF (handles BSON extended JSON);
+    #: 'jvm' = from_json fast path (plain JSON only, whole-stage codegen)
+    parse_mode: str = "pandas"
 
     # ---- DataFilter port (data_filter.py:19-51) ----------------------------
 

@@ -1,0 +1,75 @@
+"""Text-analysis operators for training-data curation — language ID,
+quality scoring, token counting, fingerprinting. All JVM column
+expressions (codegen'd); nothing per-row."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+_STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "is", "a"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une"],
+    "es": ["el", "de", "y", "los", "las", "en", "una"],
+    "de": ["der", "und", "die", "das", "ein", "zu", "mit"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokenization count."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish sub-token estimate: words + digit runs + punctuation marks,
+    via one regex split (the cheap proxy for tokenizer-budget accounting)."""
+    return F.size(F.split(text, r"(?=[\.,!\?;:\s])|(?<=[\.,!\?;:\s])")) - F.size(
+        F.split(text, r"\s+")
+    ) + token_count(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    punct = F.length(text) - F.length(F.regexp_replace(text, r"[\.,!\?;:'\"]", ""))
+    return punct / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    words = F.split(F.lower(text), r"\s+")
+    return F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in _STOPWORDS[lang]])))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    return stopword_hits(text, lang) / F.greatest(token_count(text), F.lit(1))
+
+
+def lang_id_heuristic(text: Column) -> Column:
+    """N-gram/stopword language ID: CJK codepoints dominate → zh; otherwise
+    argmax of per-language stopword hits, 'en' on ties/zero (heuristic, not
+    a model — deterministic and shuffle-free)."""
+    cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
+    scores = {lang: stopword_hits(text, lang) for lang in _STOPWORDS}
+    best = F.lit("en")
+    best_score = scores["en"]
+    for lang in ("fr", "es", "de"):
+        best = F.when(scores[lang] > best_score, F.lit(lang)).otherwise(best)
+        best_score = F.greatest(best_score, scores[lang])
+    return F.when(cjk > 0, F.lit("zh")).otherwise(best)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality in [0,1]: length band + punctuation sanity +
+    stopword presence (the classic cheap pre-filter before model scoring)."""
+    n = token_count(text)
+    len_ok = F.when((n >= 5) & (n <= 5000), 1.0).otherwise(0.3)
+    punct_ok = F.when(punct_ratio(text) < 0.2, 1.0).otherwise(0.5)
+    stop_ok = F.when(stopword_ratio(text) > 0.02, 1.0).otherwise(0.6)
+    return F.round((len_ok + punct_ok + stop_ok) / 3.0, 4)
+
+
+def rolling_fingerprint(text: Column, window: int = 16) -> Column:
+    """Document fingerprint: min of rolling-window substring hashes
+    (winnowing-style) — robust to small appends, all JVM-side."""
+    c = F.lower(text)
+    n = F.greatest(F.length(c) - (window - 1), F.lit(1))
+    return F.array_min(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.xxhash64(c.substr(i, F.lit(window))))
+    )

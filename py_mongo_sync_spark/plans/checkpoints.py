@@ -19,7 +19,7 @@ no-op.
 from __future__ import annotations
 
 import os
-import shutil
+
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,34 +38,36 @@ class CheckpointLog:
         )
 
     def append(self, rows: list[dict]) -> None:
-        """Append checkpoint rows for one committed batch (driver-side: a
-        handful of rows per batch — partition metrics, never row data)."""
+        """Append checkpoint rows for one committed batch. Driver-side
+        pyarrow write (a handful of metric rows per batch, never row data —
+        no reason to schedule a Spark job), atomic via rename."""
         if not rows:
             return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         os.makedirs(self.path, exist_ok=True)
-        df = self.spark.createDataFrame(
-            [
-                (
-                    int(r["batch_id"]),
-                    int(r["partition_id"]),
-                    None if r["max_ts"] is None else int(r["max_ts"]),
-                    int(r["n_events"]),
-                    int(r["wall_ms"]),
-                    int(r["committed_at_seq"]),
-                )
-                for r in rows
-            ],
-            CHECKPOINT_SCHEMA,
+        table = pa.table(
+            {
+                "batch_id": pa.array([int(r["batch_id"]) for r in rows], pa.int64()),
+                "partition_id": pa.array([int(r["partition_id"]) for r in rows], pa.int32()),
+                "max_ts": pa.array(
+                    [None if r["max_ts"] is None else int(r["max_ts"]) for r in rows],
+                    pa.int64(),
+                ),
+                "n_events": pa.array([int(r["n_events"]) for r in rows], pa.int64()),
+                "wall_ms": pa.array([int(r["wall_ms"]) for r in rows], pa.int64()),
+                "committed_at_seq": pa.array(
+                    [int(r["committed_at_seq"]) for r in rows], pa.int64()
+                ),
+            }
         )
-        tmp = self.path + f".tmp.{uuid.uuid4().hex}"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        for fn in os.listdir(tmp):
-            if fn.endswith(".parquet"):
-                os.replace(
-                    os.path.join(tmp, fn),
-                    os.path.join(self.path, f"batch-{rows[0]['batch_id']:010d}-{uuid.uuid4().hex}.parquet"),
-                )
-        shutil.rmtree(tmp, ignore_errors=True)
+        final = os.path.join(
+            self.path, f"batch-{rows[0]['batch_id']:010d}-{uuid.uuid4().hex}.parquet"
+        )
+        tmp = final + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, final)
 
     def read(self) -> DataFrame:
         if not self.exists():

@@ -65,9 +65,15 @@ MERGE_META_COLS = (_OP, _PATCH)
 
 
 def bucket_expr(key_cols: list[str], n_buckets: int):
-    """Deterministic bucket id for a key — Spark-side hash partitioning
-    (analogue of murmur3 fan-out, multi_oplog_replayer.py:123-131)."""
-    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
+    """Deterministic bucket id for a key — murmur3, the SAME hash family
+    Spark's HashPartitioning uses (``F.hash`` == Murmur3, seed 42; the
+    reference's analogue is its murmur3 fan-out,
+    multi_oplog_replayer.py:123-131). Alignment with shuffle partitioning
+    means a MERGE join keyed on ``key_cols`` leaves each task holding a
+    disjoint set of buckets, so the bucket-partitioned write needs NO extra
+    shuffle (correctness never depends on this — ``partitionBy`` splits by
+    value — it only bounds file counts and saves a full-table shuffle)."""
+    return F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
 
 
 class LakeTable:
@@ -129,19 +135,27 @@ class LakeTable:
     # --------------------------------------------------------------- write
 
     def _write_buckets(
-        self, df: DataFrame, version: int, n_buckets: int, files_per_bucket: int
+        self,
+        df: DataFrame,
+        version: int,
+        n_buckets: int,
+        files_per_bucket: int,
+        aligned: bool = False,
     ) -> dict[str, list[str]]:
         """Write rows (must already carry BUCKET_COL) partitioned by bucket;
-        return {bucket: [absolute files]}. ``repartition`` on the bucket
-        (+ an optional intra-bucket salt for file-count control) keeps each
-        output file single-bucket, so the manifest's file↔bucket map enables
-        bucket pruning on later MERGEs."""
+        return {bucket: [absolute files]}. When ``aligned`` the caller
+        guarantees the DataFrame is already hash-partitioned on the key
+        (e.g. straight out of the MERGE join), so each task holds disjoint
+        buckets and no repartition is needed — ``partitionBy`` splits the
+        few buckets per task into their own files. Otherwise repartition on
+        the bucket (+ an intra-bucket salt when files_per_bucket > 1)."""
         out = self._data_dir(version)
-        if files_per_bucket > 1:
-            part_cols = [F.col(BUCKET_COL), F.pmod(F.xxhash64(F.rand(seed=0)), F.lit(files_per_bucket))]
-            df = df.repartition(n_buckets * files_per_bucket, *part_cols)
-        else:
-            df = df.repartition(n_buckets, BUCKET_COL)
+        if not aligned:
+            if files_per_bucket > 1:
+                part_cols = [F.col(BUCKET_COL), F.pmod(F.xxhash64(F.rand(seed=0)), F.lit(files_per_bucket))]
+                df = df.repartition(n_buckets * files_per_bucket, *part_cols)
+            else:
+                df = df.repartition(n_buckets, BUCKET_COL)
         df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(out)
         buckets: dict[str, list[str]] = {}
         if os.path.exists(out):
@@ -219,10 +233,25 @@ class LakeTable:
 
     # --------------------------------------------------------------- merge
 
-    def merge(self, source: DataFrame, batch_id: int) -> dict:
+    def merge(
+        self,
+        source: DataFrame,
+        batch_id: int,
+        changed_buckets: list[int] | None = None,
+        nonnull_new_cols: list[str] | None = None,
+    ) -> dict:
         """MERGE INTO this table. ``source`` must have exactly one row per
         key (LWW-deduped, see operators/dedup.py) with table columns plus
         ``_op`` ('d' delete / anything else upsert) and ``_is_patch``.
+
+        ``changed_buckets`` / ``nonnull_new_cols`` are optional probe hints
+        (see CdcPipeline: a cheap key-only ``from_json`` scan of the raw
+        envelope). When supplied, the expensive source lineage executes in
+        exactly ONE job — the join+write — with no persist round-trip.
+        The hints MUST be derived from the same batch: an under-reported
+        bucket set would mis-insert rows whose target bucket went unread.
+        Without hints the merge probes the source itself (persisting it so
+        the lineage still runs once).
 
         Returns commit stats. Idempotent on ``batch_id``.
         """
@@ -230,46 +259,80 @@ class LakeTable:
         if batch_id in m["batch_ids"]:
             return {"skipped": True, "batch_id": batch_id, "version": m["version"]}
 
+        if changed_buckets is not None:
+            return self._merge_inner(
+                source, batch_id, m, changed_buckets, nonnull_new_cols or []
+            )
+        # no hints: pin the source so probe + join share one materialization.
+        # DISK_ONLY: spark.local.dir is fast local storage (tmpfs here, NVMe
+        # on a cluster) and skips the columnar-compression cache build.
+        from pyspark import StorageLevel
+
+        source = source.persist(StorageLevel.DISK_ONLY)
+        try:
+            return self._merge_inner(source, batch_id, m, None, None)
+        finally:
+            source.unpersist()
+
+    def _merge_inner(
+        self,
+        source: DataFrame,
+        batch_id: int,
+        m: dict,
+        hint_buckets: list[int] | None,
+        hint_nonnull: list[str] | None,
+    ) -> dict:
+        t0 = time.monotonic()
         key_cols: list[str] = m["key_cols"]
         ts_col: str = m["ts_col"]
         n_buckets: int = m["n_buckets"]
         schema = T.StructType.fromJson(m["schema"])
         table_cols = [f.name for f in schema.fields]
 
-        # --- schema evolution: batch columns absent from the table schema
-        # merge in as nullable iff the batch actually carries values there
-        # (Iceberg mergeSchema; replaces oplog 'c' handling,
-        # mongo/handler.py:156-163).
+        # --- schema evolution candidates: batch columns absent from the
+        # table schema merge in as nullable iff the batch actually carries
+        # values there (Iceberg mergeSchema; replaces oplog 'c' handling,
+        # mongo/handler.py:156-163). The non-null probe is FUSED into the
+        # changed-buckets aggregation below — one pass over the source.
         src_schema = {f.name: f for f in source.schema.fields}
         new_cols = [
             c for c in source.columns
             if c not in table_cols and c not in MERGE_META_COLS and c != BUCKET_COL
         ]
-        if new_cols:
-            nonnull = source.select(
-                [F.max(F.col(c).isNotNull().cast("int")).alias(c) for c in new_cols]
-            ).first()
-            evolved = [c for c in new_cols if (nonnull[c] or 0) > 0]
-            for c in evolved:
-                schema = schema.add(T.StructField(c, src_schema[c].dataType, True))
-            table_cols = [f.name for f in schema.fields]
 
         src = source.select(
-            *[
-                F.col(c).cast(schema[c].dataType) if c in source.columns
-                else F.lit(None).cast(schema[c].dataType).alias(c)
-                for c in table_cols
-            ],
+            *[F.col(c).cast(schema[c].dataType) for c in table_cols if c in source.columns],
+            *[F.col(c) for c in new_cols],
             F.col(_OP),
             F.col(_PATCH),
         ).withColumn(BUCKET_COL, bucket_expr(key_cols, n_buckets))
 
-        # --- bucket pruning: only buckets containing changed keys take part.
-        # The collect is tiny (≤ n_buckets ints), never row data.
-        changed = sorted(
-            r[0] for r in src.select(BUCKET_COL).distinct().collect()
+        # --- bucket pruning + evolution probe in ONE aggregation job
+        # (skipped entirely when the caller supplied hints). The collect is
+        # tiny (≤ n_buckets rows of booleans), never row data.
+        if hint_buckets is not None:
+            changed = sorted(hint_buckets)
+            evolved = [c for c in new_cols if c in (hint_nonnull or [])]
+        else:
+            probe = src.groupBy(BUCKET_COL).agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[F.max(F.col(c).isNotNull()).alias(c) for c in new_cols],
+            ).collect()
+            changed = sorted(r[BUCKET_COL] for r in probe)
+            evolved = [c for c in new_cols if any(r[c] for r in probe)]
+        for c in evolved:
+            schema = schema.add(T.StructField(c, src_schema[c].dataType, True))
+        table_cols = [f.name for f in schema.fields]
+        src = src.select(
+            *[
+                F.col(c).cast(schema[c].dataType) if c in src.columns
+                else F.lit(None).cast(schema[c].dataType).alias(c)
+                for c in table_cols
+            ],
+            F.col(_OP), F.col(_PATCH), F.col(BUCKET_COL),
         )
-        n_src = src.count() if not changed else None  # empty batch fast-path
+        n_src = 0 if not changed else None  # empty batch fast-path
+        t_probe = time.monotonic() - t0
         if not changed:
             new_manifest = dict(m, version=m["version"] + 1,
                                 batch_ids=m["batch_ids"] + [batch_id])
@@ -333,14 +396,17 @@ class LakeTable:
             F.coalesce(F.col(f"t.{BUCKET_COL}"), F.col(f"s.{BUCKET_COL}")).alias(BUCKET_COL),
         )
 
+        t1 = time.monotonic()
         version = m["version"] + 1
         buckets = dict(m["buckets"])
         for b in changed:
             buckets[str(b)] = []
         new_files = self._write_buckets(
-            merged, version, n_buckets, m.get("files_per_bucket", 1)
+            merged, version, n_buckets, m.get("files_per_bucket", 1),
+            aligned=m.get("files_per_bucket", 1) == 1,
         )
         buckets.update(new_files)
+        t_write = time.monotonic() - t1
         new_manifest = dict(
             m,
             version=version,
@@ -355,7 +421,29 @@ class LakeTable:
             "batch_id": batch_id,
             "changed_buckets": len(changed),
             "version": version,
+            "t_probe": round(t_probe, 2),
+            "t_join_write": round(t_write, 2),
         }
+
+    def add_column(self, name: str, type_name: str = "string") -> bool:
+        """ALTER TABLE ADD COLUMN — metadata-only schema evolution (new
+        manifest version, no data rewrite; existing files read back NULL).
+        Replaces the reference's oplog 'c' DDL replication
+        (mongo/handler.py:156-163). No-op if the column exists."""
+        m = self.manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        if name in [f.name for f in schema.fields]:
+            return False
+        try:
+            dtype = T._parse_datatype_string(type_name)
+        except Exception:
+            dtype = T.StringType()
+        schema = schema.add(T.StructField(name, dtype, True))
+        self._commit(dict(
+            m, version=m["version"] + 1, schema=schema.jsonValue(),
+            columns=[f.name for f in schema.fields],
+        ))
+        return True
 
     # -------------------------------------------------------------- utils
 

@@ -22,6 +22,12 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = cores
+    # shuffle/spill scratch: prefer the RAM-backed tmpfs in this sandbox —
+    # the root disk (~400 MB/s virtio) serializes concurrent writers and
+    # masks CPU scaling; on a real cluster this is local NVMe
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -35,7 +41,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")
+        # the per-key event fold uses collect_list: keep it in the hash-agg
+        # regime (per-key state is a handful of small structs). The 128-key
+        # default would flip every realistic microbatch into sort-based
+        # aggregation — a full TimSort of the batch per partition.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -82,80 +82,193 @@ class CdcPipeline:
     def transform(self, events: DataFrame) -> DataFrame:
         """Envelope → parsed/filtered/renamed/projected payload rows.
         All column expressions + one Arrow-vectorized parse UDF."""
-        op, ns = F.col("op"), F.col("ns")
-        df = events.where(
-            valid_oplog_filter(self.cfg, op, ns) & system_ns_filter(ns)
-        ).withColumn("ns", rename_ns(self.cfg, ns))
-        df = df.where(F.col("ns") == self.dst_ns).where(op.isin("i", "u", "d"))
-        df = parsed_events(df, with_tool=True)
+        df = self._filtered(events)
+        if self.cfg.parse_mode == "jvm":
+            from py_mongo_sync_spark.functions.parse import parsed_events_jvm
+
+            df = parsed_events_jvm(df, with_tool=True)
+        else:
+            df = parsed_events(df, with_tool=True)
         df = project_fields(
             df, self.cfg,
             always_keep=["ts", "op", "is_patch", "conv_id", "turn_idx"],
         )
         return df.where(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
 
+    def _filtered(self, events: DataFrame) -> DataFrame:
+        """The envelope-level filter/rename shared by transform() and the
+        key probe — must keep exactly the same rows in both."""
+        op, ns = F.col("op"), F.col("ns")
+        df = events.where(
+            valid_oplog_filter(self.cfg, op, ns) & system_ns_filter(ns)
+        ).withColumn("ns", rename_ns(self.cfg, ns))
+        return df.where(F.col("ns") == self.dst_ns).where(op.isin("i", "u", "d"))
+
+    def _batch_probe(self, events: DataFrame) -> dict:
+        """ONE cheap scan of the raw batch envelope that yields everything
+        the driver needs before the MERGE:
+
+        - per-bucket stats (count, max/min optime) → watermark/lineage rows
+          (A4, optime_logger analogue) and the staleness gate
+        - the changed-bucket set + evolution flags → MERGE hints
+        - the batch's DDL commands (op='c') → explicit schema evolution
+          (reference 'c' handling, mongo/handler.py:156-163)
+
+        Key fields decode via ``json_tuple`` (one streaming JSON parse per
+        row; from_json/get_json_object are CodegenFallback and re-parse per
+        reference — measured 2.5× slower). The expensive full parse+fold
+        then executes exactly once, inside the MERGE join job.
+        """
+        from py_mongo_sync_spark.plans.lake import bucket_expr
+
+        m = self.table.manifest()
+        table_cols = set(m["columns"])
+        cand = [
+            c for c in PAYLOAD_COLS
+            if c not in KEY_COLS and c not in table_cols
+            and (not self.cfg.include_fields or c in self.cfg.include_fields)
+        ]
+        op, ns = F.col("op"), F.col("ns")
+        base = events.where(
+            valid_oplog_filter(self.cfg, op, ns) & system_ns_filter(ns)
+        ).withColumn("ns", rename_ns(self.cfg, ns))
+        base = base.where(F.col("ns") == self.dst_ns).where(op.isin("i", "u", "d", "c"))
+
+        jt = base.select(
+            "ts", "op",
+            F.json_tuple(F.col("doc"), "conv_id", "turn_idx", "$set", *cand).alias(
+                "conv_id", "turn_idx", "_set", *[f"_{c}" for c in cand]
+            ),
+            F.col("doc"),
+        )
+        keyed = jt.select(
+            "ts", "op",
+            F.col("conv_id"),
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            *[
+                (
+                    F.col(f"_{c}").isNotNull()
+                    | F.get_json_object(F.col("_set"), f"$.{c}").isNotNull()
+                ).alias(c)
+                for c in cand
+            ],
+            F.when(F.col("op") == "c", F.col("doc")).alias("_cmd"),
+        ).where(
+            (F.col("op") == "c")
+            | (F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
+        )
+        # data rows group by bucket; 'c' rows land in the NULL-bucket group
+        rows = (
+            keyed.withColumn(
+                "_b",
+                F.when(F.col("op") != "c", bucket_expr(KEY_COLS, m["n_buckets"])),
+            )
+            .groupBy("_b")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.max("ts").alias("_max_ts"),
+                F.min("ts").alias("_min_ts"),
+                *[F.max(F.col(c)).alias(c) for c in cand],
+                F.collect_list(F.struct("ts", "_cmd")).alias("_cmds"),
+            )
+            .collect()
+        )
+        data_rows = [r for r in rows if r["_b"] is not None]
+        cmd_rows = [r for r in rows if r["_b"] is None]
+        commands = sorted(
+            ((c["ts"], c["_cmd"]) for r in cmd_rows for c in r["_cmds"] if c["_cmd"]),
+        )
+        all_ts = [r["_max_ts"] for r in rows] + [r["_min_ts"] for r in rows]
+        return {
+            "buckets": sorted(r["_b"] for r in data_rows),
+            "nonnull_new": [c for c in cand if any(r[c] for r in data_rows)],
+            "bucket_stats": [
+                {"partition_id": r["_b"], "max_ts": r["_max_ts"],
+                 "min_ts": r["_min_ts"], "n": r["_n"]}
+                for r in data_rows
+            ],
+            "commands": commands,
+            "n_events": sum(r["_n"] for r in rows),
+            "min_ts": min((t for t in all_ts if t is not None), default=None),
+        }
+
+    def _apply_commands(self, commands: list[tuple[int, str]]) -> None:
+        """Replay DDL commands — skip-on-failure like the reference
+        (mongo/handler.py:156-163: a command that doesn't apply is logged
+        and skipped, not fatal). Supported: add_column."""
+        for _ts, doc in commands:
+            try:
+                cmd = json.loads(doc)
+                if cmd.get("cmd") == "add_column":
+                    self.table.add_column(cmd["name"], cmd.get("type", "string"))
+            except Exception:
+                continue
+
     # --------------------------------------------------------------- apply
 
     def apply_batch(self, events: DataFrame, batch_id: int) -> dict:
-        """The foreachBatch function. Idempotent per batch_id."""
+        """The foreachBatch function. Idempotent per batch_id.
+
+        The raw batch is intentionally NOT cached: building the columnar
+        cache (compression stats over text payloads) costs more than the
+        second page-cached file scan it would save.
+        """
         t0 = time.monotonic()
-        events = events.persist()
-        try:
-            # (a) per-source-partition watermark/metrics — computed on the raw
-            # envelope before any shuffle (A4: max-ts watermark per partition)
-            pstats = (
-                events.groupBy(F.spark_partition_id().alias("pid"))
-                .agg(
-                    F.max("ts").alias("max_ts"),
-                    F.min("ts").alias("min_ts"),
-                    F.count("*").alias("n"),
-                )
-                .collect()
-            )
-            n_events = sum(r["n"] for r in pstats)
+        # (a)+(c) ONE probe scan: per-bucket watermarks/metrics, MERGE
+        # hints, and the batch's DDL commands
+        probe = self._batch_probe(events)
+        n_events = probe["n_events"]
+        t_pstats = time.monotonic() - t0
 
-            # (b) resume staleness gate (reference mongo/syncer.py:277-284)
-            if not self._resume_checked and pstats:
-                first_ts = min(r["min_ts"] for r in pstats)
-                self.cplog.assert_not_stale(first_ts)
-            self._resume_checked = True
-            self.stage = "OPLOG_SYNC"
+        # (b) resume staleness gate (reference mongo/syncer.py:277-284)
+        if not self._resume_checked and probe["min_ts"] is not None:
+            self.cplog.assert_not_stale(probe["min_ts"])
+        self._resume_checked = True
+        self.stage = "OPLOG_SYNC"
 
-            # (c)+(d) transform, (e) fold to one net event per key
-            parsed = self.transform(events)
-            payload = [c for c in PAYLOAD_COLS if c in parsed.columns]
-            folded = fold_net_events(
-                parsed, key_cols=KEY_COLS, payload_cols=payload,
-                ts_col="ts", op_col="op", patch_col="is_patch",
-            )
-            # envelope optime → the table's row timestamp
-            source = folded.withColumn(
-                "ts", F.timestamp_seconds(F.lit(FIXTURE_EPOCH) + F.col("ts"))
-            )
+        # DDL replication ('c' ops) before the data MERGE — commands are
+        # barriers in the reference's replay loop (mongo/syncer.py:303-317)
+        if probe["commands"]:
+            self._apply_commands(probe["commands"])
 
-            # (f) MERGE
-            res = self.table.merge(source, batch_id=batch_id)
+        # (d) transform, (e) fold to one net event per key — lazily; this
+        # lineage executes exactly once, inside the MERGE join job
+        parsed = self.transform(events)
+        payload = [c for c in PAYLOAD_COLS if c in parsed.columns]
+        folded = fold_net_events(
+            parsed, key_cols=KEY_COLS, payload_cols=payload,
+            ts_col="ts", op_col="op", patch_col="is_patch",
+        )
+        # envelope optime → the table's row timestamp
+        source = folded.withColumn(
+            "ts", F.timestamp_seconds(F.lit(FIXTURE_EPOCH) + F.col("ts"))
+        )
 
-            # (g) lineage/metrics
-            wall_ms = int((time.monotonic() - t0) * 1000)
-            self.cplog.append(
-                [
-                    {
-                        "batch_id": batch_id,
-                        "partition_id": r["pid"],
-                        "max_ts": r["max_ts"],
-                        "n_events": r["n"],
-                        "wall_ms": wall_ms,
-                        "committed_at_seq": batch_id,
-                    }
-                    for r in pstats
-                ]
-            )
-            res.update(n_events=n_events, wall_ms=wall_ms)
-            self.last_stats.append(res)
-            return res
-        finally:
-            events.unpersist()
+        # (f) MERGE
+        res = self.table.merge(
+            source, batch_id=batch_id,
+            changed_buckets=probe["buckets"], nonnull_new_cols=probe["nonnull_new"],
+        )
+
+        # (g) lineage/metrics — one row per bucket (the engine's partition
+        # unit; reference analogue: per-shard optime, optime_logger.py:21-40)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        self.cplog.append(
+            [
+                {
+                    "batch_id": batch_id,
+                    "partition_id": r["partition_id"],
+                    "max_ts": r["max_ts"],
+                    "n_events": r["n"],
+                    "wall_ms": wall_ms,
+                    "committed_at_seq": batch_id,
+                }
+                for r in probe["bucket_stats"]
+            ]
+        )
+        res.update(n_events=n_events, wall_ms=wall_ms, t_pstats=round(t_pstats, 2))
+        self.last_stats.append(res)
+        return res
 
     # -------------------------------------------------------------- stream
 

@@ -127,3 +127,27 @@ def test_field_projection(spark, tmp_path):
     assert inserted.count() > 0
     assert inserted.where("role is not null").count() == 0
     assert inserted.where("text is null").count() == 0
+
+
+def test_ddl_command_evolves_schema(spark, tmp_path):
+    """An oplog 'c' add_column command evolves the table schema even before
+    any data carries the new column (reference: command replay,
+    mongo/handler.py:156-163; skip-on-failure for unknown commands)."""
+    import json as _json
+
+    cfg = SyncConfig(dst_path=str(tmp_path / "l"), checkpoint_path=str(tmp_path / "c"), n_buckets=4)
+    snap = gen_transcripts_snapshot(spark, 5, 3)
+    pipe = CdcPipeline(spark, cfg)
+    pipe.initial_sync(snap)
+    events = spark.createDataFrame(
+        [
+            (2000, "c", "chat.transcripts", _json.dumps({"cmd": "add_column", "name": "tool", "type": "string"})),
+            (2001, "c", "chat.transcripts", _json.dumps({"cmd": "collMod"})),   # unknown: skipped
+            (2002, "c", "chat.transcripts", "not json"),                        # bad: skipped
+            (2003, "i", "chat.transcripts", _json.dumps({"conv_id": "conv_000001", "turn_idx": 0, "role": "user", "text": "t"})),
+        ],
+        "ts long, op string, ns string, doc string",
+    )
+    pipe.apply_batch(events, 0)
+    assert "tool" in [f.name for f in pipe.table.schema().fields]
+    assert pipe.table.read().where("conv_id = 'conv_000001' and turn_idx = 0").count() == 1

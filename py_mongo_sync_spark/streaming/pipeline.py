@@ -169,7 +169,11 @@ class CdcPipeline:
                 F.max("ts").alias("_max_ts"),
                 F.min("ts").alias("_min_ts"),
                 *[F.max(F.col(c)).alias(c) for c in cand],
-                F.collect_list(F.struct("ts", "_cmd")).alias("_cmds"),
+                # when() is NULL for data rows and collect_list skips NULLs,
+                # so only the rare 'c' rows are ever buffered
+                F.collect_list(
+                    F.when(F.col("op") == "c", F.struct("ts", "_cmd"))
+                ).alias("_cmds"),
             )
             .collect()
         )

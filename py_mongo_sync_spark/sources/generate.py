@@ -265,9 +265,8 @@ def oracle_replay(
                     row["tool"] = doc.get("tool")
                     has_tool = True
                 state[key] = row
-    out = pd.DataFrame(list(state.values()))
+    base_cols = ["conv_id", "turn_idx", "role", "text"] + (["tool"] if has_tool else []) + ["ts"]
+    out = pd.DataFrame(list(state.values()), columns=None if state else base_cols)
     if has_tool and "tool" not in out.columns:
         out["tool"] = None
-    if has_tool:
-        out["tool"] = out.get("tool")
     return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)

@@ -276,6 +276,7 @@ class CdcPipeline:
 
     # -------------------------------------------------------------- stream
 
+
     def run_stream(
         self,
         events_stream: DataFrame,
@@ -306,3 +307,56 @@ class CdcPipeline:
         """One-shot batch replay (no streaming machinery) — used by bench
         and by callers that already hold the full change set."""
         return self.apply_batch(events, batch_id)
+
+
+class MultiCdcPipeline:
+    """Route one change stream into MANY destination tables, one per
+    namespace — the engine-level analogue of the reference syncing every
+    collection of the replica set (namespace grouping H1,
+    /root/reference/mongosync/multi_oplog_replayer.py:45-53; catalog scan
+    S5, common_syncer.py:120-135).
+
+    Each destination is a full CdcPipeline (own LakeTable + checkpoint log)
+    sharing the SyncConfig's filter/rename/projection. A microbatch fans out
+    to every destination; commits are per-table atomic, matching the
+    reference's per-collection bulk writes (no cross-collection
+    transaction exists there either).
+    """
+
+    def __init__(self, spark: SparkSession, cfg: SyncConfig, ns_list: list[str]):
+        import dataclasses
+        import os
+
+        self.spark = spark
+        self.pipes: dict[str, CdcPipeline] = {}
+        for ns in sorted(ns_list):
+            safe = ns.replace(".", "__")
+            sub = dataclasses.replace(
+                cfg,
+                dst_path=os.path.join(cfg.dst_path, safe),
+                checkpoint_path=os.path.join(cfg.checkpoint_path, safe),
+            )
+            self.pipes[ns] = CdcPipeline(spark, sub, dst_ns=ns)
+
+    def initial_sync(self, snapshots: dict[str, DataFrame]) -> None:
+        for ns, df in snapshots.items():
+            self.pipes[ns].initial_sync(df)
+
+    def apply_batch(self, events: DataFrame, batch_id: int) -> dict[str, dict]:
+        return {ns: p.apply_batch(events, batch_id) for ns, p in self.pipes.items()}
+
+    def run_stream(self, events_stream: DataFrame, spark_checkpoint_dir: str,
+                   available_now: bool = True):
+        writer = (
+            events_stream.writeStream.foreachBatch(
+                lambda df, bid: self.apply_batch(df, bid)
+            )
+            .option("checkpointLocation", spark_checkpoint_dir)
+            .outputMode("update")
+        )
+        q = writer.trigger(availableNow=True).start() if available_now else (
+            writer.trigger(processingTime="1 second").start()
+        )
+        if available_now:
+            q.awaitTermination()
+        return q

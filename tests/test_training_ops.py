@@ -1,0 +1,136 @@
+"""Unit tests for the training-data-pipeline operators: dedup families
+(exact / MinHash+LSH / SimHash / n-gram Jaccard), ANN search, text
+analysis, and the multimodal binary plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from py_mongo_sync_spark.functions.multimodal import (
+    decode_image,
+    extract_binary_metadata,
+    frame_sample_plan,
+)
+from py_mongo_sync_spark.functions.similarity import (
+    ann_bucketed_topk,
+    brute_force_topk,
+    hamming_neardup_pairs,
+    minhash_candidate_pairs,
+    minhash_signature,
+    simhash_fingerprints,
+)
+from py_mongo_sync_spark.functions.text import (
+    bpe_ish_token_count,
+    lang_id_heuristic,
+    punct_ratio,
+    quality_score,
+    rolling_fingerprint,
+    token_count,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),        # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat"),        # near dup of 0
+    (3, "completely different content about spark shuffles"),
+    (4, "le chat est sur la table et le chien dort"),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_minhash_identical_docs_share_all_bands(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_bands_matched"]
+        for r in minhash_candidate_pairs(docs, "doc_id", "text", n_hashes=32, bands=8).collect()
+    }
+    assert pairs[(0, 1)] == 8                      # identical → all bands
+    assert pairs.get((0, 2), 0) >= 1               # near dup → some band
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_minhash_signature_deterministic(spark, docs):
+    a = docs.select(minhash_signature("text").alias("s")).collect()
+    b = docs.select(minhash_signature("text").alias("s")).collect()
+    assert [r["s"] for r in a] == [r["s"] for r in b]
+
+
+def test_simhash_and_hamming_join(spark, docs):
+    sigs = simhash_fingerprints(docs, "doc_id", "text")
+    m = {r["doc_id"]: r["simhash64"] for r in sigs.collect()}
+    assert m[0] == m[1]                            # identical text, same hash
+    assert bin(m[0] ^ m[2]).count("1") < bin(m[0] ^ m[3]).count("1")
+    pairs = hamming_neardup_pairs(sigs, "doc_id", "simhash64", max_hamming=3).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (0, 1) in got
+    assert all(r["hamming"] <= 3 for r in pairs)
+
+
+def test_brute_force_and_lsh_ann(spark):
+    import math
+
+    # 20 deterministic vectors in 8-dim; vec 1 is almost vec 0
+    rows = []
+    for i in range(20):
+        v = [math.sin(i * 8 + j) for j in range(8)]
+        rows.append((i, v))
+    rows[1] = (1, [x + 0.001 for x in rows[0][1]])
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where("vec_id = 0").select("embedding")
+    top = brute_force_topk(emb.where("vec_id <> 0"), q, k=3).collect()
+    assert top[0]["vec_id"] == 1 and top[0]["cos"] > 0.999
+    # LSH-bucketed ANN finds the same nearest neighbor (it shares the bucket)
+    ann = ann_bucketed_topk(emb.where("vec_id <> 0"), q, k=3, n_planes=4, dim=8).collect()
+    assert ann and ann[0]["vec_id"] == 1
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [("the cat sat on the mat, happily!",),
+         ("le chien et le chat sont sur la table",),
+         ("der Hund und die Katze sind hier",),
+         ("你好 世界 这是 中文",)],
+        "text string",
+    )
+    out = df.select(
+        token_count(F.col("text")).alias("n"),
+        bpe_ish_token_count(F.col("text")).alias("bpe"),
+        F.round(punct_ratio(F.col("text")), 3).alias("pr"),
+        lang_id_heuristic(F.col("text")).alias("lang"),
+        quality_score(F.col("text")).alias("q"),
+        rolling_fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    assert [r["lang"] for r in out] == ["en", "fr", "de", "zh"]
+    assert out[0]["n"] == 7 and out[0]["bpe"] >= out[0]["n"]
+    assert 0 < out[0]["pr"] < 0.2
+    assert all(0 <= r["q"] <= 1 for r in out)
+    # fingerprint stable under trailing append (winnowing min survives)
+    fp2 = spark.createDataFrame(
+        [("the cat sat on the mat, happily! postscript",)], "text string"
+    ).select(rolling_fingerprint(F.col("text")).alias("fp")).first()["fp"]
+    assert fp2 <= out[0]["fp"]
+
+
+def test_multimodal_binary_plumbing(spark):
+    df = spark.createDataFrame(
+        [(i, f"payload {i}".encode()) for i in range(10)],
+        "doc_id long, payload binary",
+    )
+    meta = extract_binary_metadata(df, "payload", "doc_id")
+    rows = {r["doc_id"]: r for r in meta.collect()}
+    assert len(rows) == 10
+    assert rows[3]["n_bytes"] == len(b"payload 3")
+    assert rows[3]["kind"] == "image" and rows[3]["width"] >= 64
+    # deterministic across runs
+    again = {r["doc_id"]: r for r in extract_binary_metadata(df, "payload", "doc_id").collect()}
+    assert rows == again
+    # frame sampling explodes one row per sampled frame
+    frames = frame_sample_plan(df, "payload", "doc_id", every_n=1)
+    assert frames.count() >= 10
+    # the real decode is stubbed, loudly
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")

@@ -290,6 +290,56 @@ def q_ann_cosine_topk(spark, sf):
     )
 
 
+def q_sessionize_events(spark, sf):
+    """Sessionization: new session when the gap to the previous event of the
+    same user exceeds 30 minutes (lag window + running sum of boundaries)."""
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")  # NTZ parquet, UTC session
+    gap = epoch - F.lag(epoch).over(w)
+    marked = ev.withColumn("new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_value_percentiles(spark, sf):
+    """Exact percentiles per group (sort-based aggregate)."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.min("value"), 2).alias("v_min"),
+        F.round(F.max("value"), 2).alias("v_max"),
+    )
+
+
+def q_rollup_lineitem(spark, sf):
+    """ROLLUP grouping sets (subtotal rows with NULL keys)."""
+    li = _t(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def q_pivot_event_counts(spark, sf):
+    """Pivot event_type into columns (counts per user bucket)."""
+    ev = _t(spark, sf, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy(F.pmod(F.col("user_id"), F.lit(10)).cast("long").alias("user_bucket"))
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
 def q_embedding_label_norms(spark, sf):
     e = _t(spark, sf, "embeddings")
     dv = F.transform("embedding", lambda x: x.cast("double"))
@@ -329,6 +379,36 @@ def q_lang_id_heuristic(spark, sf):
     return d.select("doc_id", "lang", lang_id_heuristic(F.col("text")).alias("lang_pred"))
 
 
+def q_simhash_neardup_pairs(spark, sf):
+    from py_mongo_sync_spark.functions.similarity import (
+        hamming_neardup_pairs,
+        simhash_fingerprints,
+    )
+
+    d = _t(spark, sf, "documents")
+    sigs = simhash_fingerprints(d, id_col="doc_id", text_col="text")
+    return hamming_neardup_pairs(sigs, "doc_id", "simhash64", max_hamming=8)
+
+
+def q_ann_lsh_bucketed(spark, sf):
+    from py_mongo_sync_spark.functions.similarity import ann_bucketed_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.where("vec_id = 0").select("embedding")
+    return ann_bucketed_topk(e.where("vec_id <> 0"), q, k=10, n_planes=6, dim=64)
+
+
+def q_quality_scores(spark, sf):
+    from py_mongo_sync_spark.functions.text import bpe_ish_token_count, quality_score
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
 def q_multimodal_binary_meta(spark, sf):
     from py_mongo_sync_spark.functions.multimodal import extract_binary_metadata
 
@@ -362,10 +442,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_label_norms": q_embedding_label_norms,
+        "sessionize_events": q_sessionize_events,
+        "value_percentiles": q_value_percentiles,
+        "rollup_lineitem": q_rollup_lineitem,
+        "pivot_event_counts": q_pivot_event_counts,
         # engine-native / non-SQL (rows-only checks)
         "cdc_replay_synthetic": q_cdc_replay_synthetic,
         "minhash_neardup": q_minhash_neardup,
         "simhash_fingerprint": q_simhash_fingerprint,
+        "simhash_neardup_pairs": q_simhash_neardup_pairs,
+        "ann_lsh_bucketed": q_ann_lsh_bucketed,
+        "quality_scores": q_quality_scores,
         "lang_id_heuristic": q_lang_id_heuristic,
         "multimodal_binary_meta": q_multimodal_binary_meta,
     }
@@ -506,6 +593,46 @@ def oracle_sql() -> dict[str, str]:
                      / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
                         * sqrt(list_dot_product(qv, qv))) DESC, vec_id
             LIMIT 10
+        """,
+        "sessionize_events": """
+            WITH marked AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                                 OR lag(ts) OVER w IS NULL
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM marked
+            )
+            SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(min(value), 2) AS v_min,
+                   round(max(value), 2) AS v_max
+            FROM events GROUP BY event_type
+        """,
+        "rollup_lineitem": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "pivot_event_counts": """
+            SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+                   count(*) FILTER (event_type = 'click') AS click,
+                   count(*) FILTER (event_type = 'error') AS error,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'signup') AS signup,
+                   count(*) FILTER (event_type = 'view') AS view
+            FROM events GROUP BY 1
         """,
         "embedding_label_norms": """
             SELECT label, count(*) AS n_vecs,

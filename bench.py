@@ -73,7 +73,7 @@ def materialize_events(spark, out_dir: str) -> None:
 
     snap_dir = os.path.join(out_dir, "snapshot")
     ev_dir = os.path.join(out_dir, "events")
-    gen_transcripts_snapshot(spark, N_CONVS, TURNS).write.mode("overwrite").parquet(snap_dir)
+    gen_transcripts_snapshot(spark, N_CONVS, TURNS, with_tool=True).write.mode("overwrite").parquet(snap_dir)
     gen_oplog_events(spark, N_CONVS, TURNS, N_EVENTS, hot_frac=0.05).repartitionByRange(
         N_SEGMENTS, "ts"
     ).write.mode("overwrite").parquet(ev_dir)
@@ -112,9 +112,9 @@ def materialize_scale_events(spark, out_dir: str) -> None:
     from py_mongo_sync_spark.sources.generate import gen_oplog_events, gen_transcripts_snapshot
 
     n_convs = max(1000, SCALE_EVENTS // 20)
-    gen_transcripts_snapshot(spark, n_convs, TURNS).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "snapshot")
-    )
+    gen_transcripts_snapshot(spark, n_convs, TURNS, with_tool=True).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "snapshot"))
     gen_oplog_events(spark, n_convs, TURNS, SCALE_EVENTS, hot_frac=0.05).repartition(
         64
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "events"))
@@ -206,7 +206,7 @@ def run_cdc_replay(cores: int, data_dir: str, n_buckets: int = 64) -> dict:
             n_buckets=n_buckets,
         )
         pipe = CdcPipeline(spark, cfg)
-        snap = read_snapshot(spark, os.path.join(data_dir, "snapshot"), with_tool=False)
+        snap = read_snapshot(spark, os.path.join(data_dir, "snapshot"), with_tool=True)
         _warmup(spark)
         t0 = time.monotonic()
         pipe.initial_sync(snap)

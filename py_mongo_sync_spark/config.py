@@ -53,6 +53,15 @@ class SyncConfig:
     #: 'pandas' = Arrow-vectorized UDF (handles BSON extended JSON);
     #: 'jvm' = from_json fast path (plain JSON only, whole-stage codegen)
     parse_mode: str = "pandas"
+    #: retain this many table versions for time travel; older data files are
+    #: physically removed every ``expire_every`` batches (0 = never expire).
+    keep_versions: int = 8
+    expire_every: int = 32
+    #: when a batch has ≥ n_buckets × this many data events (and no schema
+    #: candidates to probe), skip the key-probe doc scan: essentially every
+    #: bucket changes anyway, so assume all-changed instead of paying a full
+    #: JSON pre-parse of the batch. Pruning still engages for small batches.
+    probe_skip_factor: int = 200
 
     # ---- DataFilter port (data_filter.py:19-51) ----------------------------
 

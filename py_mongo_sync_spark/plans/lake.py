@@ -353,7 +353,11 @@ class LakeTable:
         # same key so AQE can plan it well), then pure column expressions.
         t = tgt.alias("t")
         s = src.alias("s")
-        joined = t.join(s, on=[t[c].eqNullSafe(s[c]) for c in key_cols], how="full_outer")
+        # plain equality (keys are non-null by construction): `<=>` would
+        # wrap the keys and break reuse of the fold's hash partitioning AND
+        # the bucket-aligned write (verified: eqNullSafe doubled the files
+        # per bucket).
+        joined = t.join(s, on=[t[c] == s[c] for c in key_cols], how="full_outer")
 
         s_key = F.col(f"s.{key_cols[0]}")
         t_key = F.col(f"t.{key_cols[0]}")

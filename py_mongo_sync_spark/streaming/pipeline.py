@@ -104,6 +104,16 @@ class CdcPipeline:
         ).withColumn("ns", rename_ns(self.cfg, ns))
         return df.where(F.col("ns") == self.dst_ns).where(op.isin("i", "u", "d"))
 
+    def _evolution_candidates(self) -> list[str]:
+        """Payload columns not yet in the table schema (and not projected
+        away) — the set the probe must check for non-null values."""
+        table_cols = set(self.table.manifest()["columns"])
+        return [
+            c for c in PAYLOAD_COLS
+            if c not in KEY_COLS and c not in table_cols
+            and (not self.cfg.include_fields or c in self.cfg.include_fields)
+        ]
+
     def _batch_probe(self, events: DataFrame) -> dict:
         """ONE cheap scan of the raw batch envelope that yields everything
         the driver needs before the MERGE:
@@ -122,12 +132,7 @@ class CdcPipeline:
         from py_mongo_sync_spark.plans.lake import bucket_expr
 
         m = self.table.manifest()
-        table_cols = set(m["columns"])
-        cand = [
-            c for c in PAYLOAD_COLS
-            if c not in KEY_COLS and c not in table_cols
-            and (not self.cfg.include_fields or c in self.cfg.include_fields)
-        ]
+        cand = self._evolution_candidates()
         op, ns = F.col("op"), F.col("ns")
         base = events.where(
             valid_oplog_filter(self.cfg, op, ns) & system_ns_filter(ns)
@@ -218,10 +223,59 @@ class CdcPipeline:
         second page-cached file scan it would save.
         """
         t0 = time.monotonic()
-        # (a)+(c) ONE probe scan: per-bucket watermarks/metrics, MERGE
-        # hints, and the batch's DDL commands
-        probe = self._batch_probe(events)
-        n_events = probe["n_events"]
+        # (a) op-level stats: a column-pruned scan (ts/op/ns only — the doc
+        # payload is never read) giving counts, watermarks and whether any
+        # DDL commands exist
+        op_ns = F.col("op"), F.col("ns")
+        enveloped = events.where(
+            valid_oplog_filter(self.cfg, *op_ns) & system_ns_filter(op_ns[1])
+        ).withColumn("ns", rename_ns(self.cfg, op_ns[1]))
+        enveloped = enveloped.where(F.col("ns") == self.dst_ns).where(
+            F.col("op").isin("i", "u", "d", "c")
+        )
+        op_stats = {
+            r["op"]: r
+            for r in enveloped.groupBy("op")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("ts").alias("max_ts"),
+                 F.min("ts").alias("min_ts"))
+            .collect()
+        }
+        n_data = sum(r["n"] for o, r in op_stats.items() if o in ("i", "u", "d"))
+        n_events = sum(r["n"] for r in op_stats.values())
+        cand = self._evolution_candidates()
+
+        # (c) MERGE hints: for small batches (or while schema candidates need
+        # probing) run the key-probe doc scan — bucket pruning pays for
+        # itself; for large homogeneous batches every bucket changes anyway,
+        # so skip the pre-parse entirely.
+        big = n_data >= self.cfg.n_buckets * self.cfg.probe_skip_factor
+        if cand or not big:
+            probe = self._batch_probe(events)
+        else:
+            commands = []
+            if op_stats.get("c", {"n": 0})["n"] > 0:
+                commands = sorted(
+                    (r["ts"], r["doc"])
+                    for r in enveloped.where("op = 'c'").select("ts", "doc").collect()
+                )
+            all_ts = [r["max_ts"] for r in op_stats.values()] + [
+                r["min_ts"] for r in op_stats.values()
+            ]
+            probe = {
+                "buckets": list(range(self.table.manifest()["n_buckets"])),
+                "nonnull_new": [],
+                "bucket_stats": [
+                    {
+                        "partition_id": -1,
+                        "max_ts": max(all_ts) if all_ts else None,
+                        "min_ts": min(all_ts) if all_ts else None,
+                        "n": n_events,
+                    }
+                ],
+                "commands": commands,
+                "n_events": n_events,
+                "min_ts": min(all_ts) if all_ts else None,
+            }
         t_pstats = time.monotonic() - t0
 
         # (b) resume staleness gate (reference mongo/syncer.py:277-284)
@@ -270,6 +324,16 @@ class CdcPipeline:
                 for r in probe["bucket_stats"]
             ]
         )
+        # storage lifecycle: a continuous stream creates one version per
+        # batch — without expiry a CoW table's history grows unboundedly
+        # (Iceberg expire_snapshots; driver-side file deletes, no Spark job)
+        if (
+            self.cfg.expire_every
+            and batch_id > 0
+            and batch_id % self.cfg.expire_every == 0
+        ):
+            res["expired_files"] = self.table.expire_versions(self.cfg.keep_versions)
+
         res.update(n_events=n_events, wall_ms=wall_ms, t_pstats=round(t_pstats, 2))
         self.last_stats.append(res)
         return res

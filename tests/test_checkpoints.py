@@ -54,3 +54,41 @@ def test_append_is_crash_atomic(spark, tmp_path):
     for b in range(5):
         cp.append([_row(b, p, 100 * b + p) for p in range(4)])
         assert cp.read().count() == (b + 1) * 4
+
+
+def test_progress_listener_records_batches(spark, tmp_path):
+    """A3: streaming progress rows (rates, durations) persist per microbatch."""
+    import json
+
+    from py_mongo_sync_spark.config import SyncConfig
+    from py_mongo_sync_spark.sources.generate import (
+        gen_oplog_events,
+        gen_transcripts_snapshot,
+        write_events_jsonl,
+    )
+    from py_mongo_sync_spark.sources.oplog import read_oplog_stream
+    from py_mongo_sync_spark.streaming.pipeline import CdcPipeline
+    from py_mongo_sync_spark.streaming.progress import ProgressLogListener
+
+    log_path = str(tmp_path / "progress.jsonl")
+    listener = ProgressLogListener(log_path)
+    spark.streams.addListener(listener)
+    try:
+        cfg = SyncConfig(dst_path=str(tmp_path / "l"), checkpoint_path=str(tmp_path / "c"), n_buckets=2)
+        pipe = CdcPipeline(spark, cfg)
+        pipe.initial_sync(gen_transcripts_snapshot(spark, 10, 3))
+        ev = gen_oplog_events(spark, 10, 3, 200)
+        write_events_jsonl(ev, str(tmp_path / "ev"), n_files=2)
+        pipe.run_stream(read_oplog_stream(spark, str(tmp_path / "ev"), max_files_per_trigger=1),
+                        str(tmp_path / "spark_cp"))
+        import time
+        for _ in range(20):  # listener events are async
+            recs = [json.loads(l) for l in open(log_path)] if __import__("os").path.exists(log_path) else []
+            if sum(1 for r in recs if r["event"] == "progress" and r["numInputRows"] > 0) >= 2:
+                break
+            time.sleep(0.5)
+        prog = [r for r in recs if r["event"] == "progress" and r["numInputRows"] > 0]
+        assert len(prog) >= 2
+        assert all("durationMs" in r for r in prog)
+    finally:
+        spark.streams.removeListener(listener)

@@ -150,3 +150,22 @@ def test_expire_versions_removes_unreferenced_files(spark, tmp_path):
     removed = t.expire_versions(keep=1)
     assert removed > 0
     assert t.read().first()["text"] == "v3"  # latest still reads fine
+
+
+def test_pipeline_expires_old_versions(spark, tmp_path):
+    """Continuous streams must not grow storage unboundedly: the pipeline
+    expires old versions' data files on a batch cadence."""
+    from py_mongo_sync_spark.config import SyncConfig
+    from py_mongo_sync_spark.sources.generate import gen_oplog_events, gen_transcripts_snapshot
+    from py_mongo_sync_spark.streaming.pipeline import CdcPipeline
+
+    cfg = SyncConfig(
+        dst_path=str(tmp_path / "l"), checkpoint_path=str(tmp_path / "c"),
+        n_buckets=2, keep_versions=2, expire_every=2,
+    )
+    pipe = CdcPipeline(spark, cfg)
+    pipe.initial_sync(gen_transcripts_snapshot(spark, 5, 2))
+    ev = gen_oplog_events(spark, 5, 2, 40)
+    stats = [pipe.apply_batch(ev.where(f"ts % 4 = {i}"), i) for i in range(4)]
+    assert any(s.get("expired_files", 0) > 0 for s in stats)
+    assert pipe.table.read().count() > 0  # latest version intact

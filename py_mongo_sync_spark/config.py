@@ -62,6 +62,11 @@ class SyncConfig:
     #: bucket changes anyway, so assume all-changed instead of paying a full
     #: JSON pre-parse of the batch. Pruning still engages for small batches.
     probe_skip_factor: int = 200
+    #: fail a batch that carries Mongo update operators the lake MERGE cannot
+    #: express ($push/$rename/...); default = apply the expressible parts and
+    #: count the rest into n_unsupported_ops telemetry (the reference's
+    #: log-and-skip posture, mongo/handler.py:156-163).
+    strict_ops: bool = False
 
     # ---- DataFilter port (data_filter.py:19-51) ----------------------------
 

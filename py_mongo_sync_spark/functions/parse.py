@@ -43,6 +43,8 @@ def _unwrap(v):
 def _parse_one(s: str | None, cols: list[str]) -> dict:
     out: dict = dict.fromkeys(cols)
     out["is_patch"] = False
+    out["unset_cols"] = None
+    out["inc_map"] = None
     if not s:
         return out
     try:
@@ -50,9 +52,32 @@ def _parse_one(s: str | None, cols: list[str]) -> dict:
     except ValueError:
         return out
     patch = d.pop("$set", None)
-    if patch is not None:
+    unset = d.pop("$unset", None)
+    inc = d.pop("$inc", None)
+    # any other $-operator ($push/$rename/...) is ignored here and counted
+    # into batch telemetry by the pipeline's probe (reference posture: the
+    # ES syncer translates only $set/$unset, es/syncer.py:182-216; unknown
+    # DDL is logged-and-skipped, mongo/handler.py:156-163)
+    for k in [k for k in d if k.startswith("$")]:
+        d.pop(k)
+    if patch is not None or unset is not None or inc is not None:
         out["is_patch"] = True
-        d.update(patch)
+        unset_cols: set = set()
+        if patch:
+            for k, v in patch.items():
+                if v is None:
+                    unset_cols.add(k)  # $set to null ≡ $unset on fixed schema
+                else:
+                    d[k] = v
+        if unset:
+            unset_cols.update(unset.keys())
+        out["unset_cols"] = sorted(unset_cols)
+        if inc:
+            out["inc_map"] = {
+                k: float(_unwrap(v))
+                for k, v in inc.items()
+                if isinstance(_unwrap(v), (int, float))
+            }
     for c in cols:
         if c in d:
             out[c] = _unwrap(d[c])
@@ -66,25 +91,31 @@ def make_parse_udf(with_tool: bool = True):
     thousands of rows); never a row-at-a-time Python UDF.
     """
     schema = payload_parse_schema(with_tool)
-    cols = [f.name for f in schema.fields if f.name != "is_patch"]
+    meta = ("is_patch", "unset_cols", "inc_map")
+    cols = [f.name for f in schema.fields if f.name not in meta]
 
     @F.pandas_udf(schema)
     def parse_doc(doc: pd.Series) -> pd.DataFrame:
         recs = [_parse_one(s, cols) for s in doc]
-        pdf = pd.DataFrame.from_records(recs, columns=cols + ["is_patch"])
-        # pandas object→nullable int for Arrow
+        pdf = pd.DataFrame.from_records(recs, columns=cols + list(meta))
+        # pandas object→typed for Arrow
         if "turn_idx" in pdf.columns:
             pdf["turn_idx"] = pdf["turn_idx"].astype("Int32")
+        if "score" in pdf.columns:
+            pdf["score"] = pdf["score"].astype("float64")
         return pdf
 
     return parse_doc
 
 
 def parsed_events(df: DataFrame, with_tool: bool = True) -> DataFrame:
-    """Envelope + decoded payload: adds payload columns and ``is_patch``."""
+    """Envelope + decoded payload: adds payload columns, ``is_patch``,
+    ``unset_cols`` and ``inc_map``. The optional envelope ``seq`` column
+    (oplog increment, the equal-ts tiebreak) passes through."""
     udf = make_parse_udf(with_tool)
+    extra = ["seq"] if "seq" in df.columns else []
     return df.withColumn("_p", udf(F.col("doc"))).select(
-        "ts", "op", "ns", "_p.*"
+        "ts", *extra, "op", "ns", "_p.*"
     )
 
 
@@ -99,28 +130,39 @@ def from_json_fast_path(doc: Column, with_tool: bool = True) -> Column:
 
 
 def parsed_events_jvm(df: DataFrame, with_tool: bool = True) -> DataFrame:
-    """Pure-JVM parse including ``$set`` patch handling — same output
-    contract as :func:`parsed_events` but via ``from_json`` (whole-stage
-    codegen, zero Python processes). Valid when payloads are plain JSON
-    (no BSON extended-JSON scalars); select with
+    """Pure-JVM parse including ``$set``/``$unset``/``$inc`` handling — same
+    output contract as :func:`parsed_events` but via ``from_json``
+    (whole-stage codegen, zero Python processes). Valid when payloads are
+    plain JSON (no BSON extended-JSON scalars). Known delta vs the pandas
+    path: ``$set`` to JSON null is indistinguishable from field-absent in a
+    struct decode, so set-to-null flows as no-op here (use parse_mode=
+    'pandas' for sources that emit it). Select with
     ``SyncConfig.parse_mode='jvm'``."""
     base = "conv_id string, turn_idx int, role string, text string"
     setf = "text string, role string"
     if with_tool:
         base += ", tool string"
         setf += ", tool string"
-    schema_str = f"{base}, `$set` struct<{setf}>"
+    base += ", score double"
+    setf += ", score double"
+    schema_str = (
+        f"{base}, `$set` struct<{setf}>, "
+        "`$unset` map<string,string>, `$inc` map<string,double>"
+    )
     # JsonToStructs is CodegenFallback: every column reference would re-parse
     # the JSON. The explode(array(...)) barrier is a Generate node, so the
     # parse happens exactly once per row and downstream projections reference
     # real attributes (measured 2.3× faster than naive multi-reference).
+    extra = ["seq"] if "seq" in df.columns else []
     p = F.from_json(F.col("doc"), schema_str)
-    exploded = df.select("ts", "op", "ns", F.explode(F.array(p)).alias("_p"))
+    exploded = df.select("ts", *extra, "op", "ns", F.explode(F.array(p)).alias("_p"))
     patch = F.col("_p").getField("$set")
-    is_patch = patch.isNotNull()
-    cols = ["role", "text"] + (["tool"] if with_tool else [])
+    unset = F.col("_p").getField("$unset")
+    inc = F.col("_p").getField("$inc")
+    is_patch = patch.isNotNull() | unset.isNotNull() | inc.isNotNull()
+    cols = ["role", "text"] + (["tool"] if with_tool else []) + ["score"]
     out = [
-        "ts", "op", "ns",
+        "ts", *extra, "op", "ns",
         F.col("_p").getField("conv_id").alias("conv_id"),
         F.col("_p").getField("turn_idx").alias("turn_idx"),
     ]
@@ -129,4 +171,9 @@ def parsed_events_jvm(df: DataFrame, with_tool: bool = True) -> DataFrame:
             F.when(is_patch, patch.getField(c)).otherwise(F.col("_p").getField(c)).alias(c)
         )
     out.append(F.coalesce(is_patch, F.lit(False)).alias("is_patch"))
+    out.append(
+        F.when(is_patch, F.coalesce(F.map_keys(unset), F.array().cast("array<string>")))
+        .alias("unset_cols")
+    )
+    out.append(F.when(is_patch, inc).alias("inc_map"))
     return exploded.select(*out)

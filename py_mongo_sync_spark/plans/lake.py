@@ -59,9 +59,23 @@ BUCKET_COL = "_bucket"
 DELETED_COL = "_deleted"
 _OP = "_op"
 _PATCH = "_is_patch"
+_UNSET = "_unset_cols"
+_INC = "_inc_map"
 
-#: Columns a MERGE source may carry beyond the table columns.
-MERGE_META_COLS = (_OP, _PATCH)
+#: Columns a MERGE source may carry beyond the table columns. _UNSET
+#: (array<string>: patch columns to NULL — $unset / $set-to-null,
+#: reference translation /root/reference/mongosync/es/syncer.py:197-213)
+#: and _INC (map<string,double>: residual $inc deltas added to the target
+#: value) are optional; a source without them degrades to plain
+#: coalesce-patch semantics.
+MERGE_META_COLS = (_OP, _PATCH, _UNSET, _INC)
+
+
+class HintViolation(RuntimeError):
+    """A MERGE wrote rows into a bucket outside the caller-supplied
+    changed-bucket hint set. Trusting the hint would wholesale replace that
+    bucket's file list with only the new rows — silent data loss. Raised
+    BEFORE the commit; ``merge`` catches it and retries hint-free."""
 
 
 def bucket_expr(key_cols: list[str], n_buckets: int):
@@ -113,8 +127,38 @@ class LakeTable:
     def schema(self, version: int | None = None) -> T.StructType:
         return T.StructType.fromJson(self.manifest(version)["schema"])
 
+    # -- committed-batch bookkeeping: O(1) manifest size, not O(history).
+    # A streaming source's batch ids are monotone, so `max_batch_id` plus a
+    # small recent window gives exact idempotence without appending every id
+    # forever (10^6 microbatches would otherwise rewrite MBs per commit and
+    # make the guard a linear scan). Non-monotone callers are covered within
+    # the window; beyond it, ids below min(recent) are treated committed.
+
+    _BATCH_WINDOW = 64
+
+    @staticmethod
+    def _committed_state(m: dict) -> tuple[int | None, list[int]]:
+        if "recent_batch_ids" in m:
+            return m.get("max_batch_id"), m["recent_batch_ids"]
+        ids = m.get("batch_ids", [])  # legacy manifests: migrate on next commit
+        return (max(ids) if ids else None), sorted(ids)[-LakeTable._BATCH_WINDOW:]
+
+    def is_committed(self, batch_id: int, m: dict | None = None) -> bool:
+        mx, recent = self._committed_state(m or self.manifest())
+        if batch_id in recent:
+            return True
+        return bool(recent) and batch_id < min(recent)
+
+    def _batch_fields(self, m: dict, batch_id: int) -> dict:
+        """Manifest fields recording ``batch_id`` as committed."""
+        mx, recent = self._committed_state(m)
+        recent = sorted(set(recent) | {batch_id})[-self._BATCH_WINDOW:]
+        new_max = batch_id if mx is None else max(mx, batch_id)
+        return {"max_batch_id": new_max, "recent_batch_ids": recent}
+
     def committed_batch_ids(self) -> set[int]:
-        return set(self.manifest()["batch_ids"])
+        """Recently committed ids (exact within the retention window)."""
+        return set(self._committed_state(self.manifest())[1])
 
     def _commit(self, manifest: dict) -> None:
         """Atomic commit: manifest file first, then pointer swap. A crash
@@ -196,7 +240,8 @@ class LakeTable:
             "n_buckets": n_buckets,
             "files_per_bucket": files_per_bucket,
             "buckets": buckets,
-            "batch_ids": [],
+            "max_batch_id": None,
+            "recent_batch_ids": [],
         }
         self._commit(manifest)
         return self
@@ -256,13 +301,20 @@ class LakeTable:
         Returns commit stats. Idempotent on ``batch_id``.
         """
         m = self.manifest()
-        if batch_id in m["batch_ids"]:
+        if self.is_committed(batch_id, m):
             return {"skipped": True, "batch_id": batch_id, "version": m["version"]}
 
         if changed_buckets is not None:
-            return self._merge_inner(
-                source, batch_id, m, changed_buckets, nonnull_new_cols or []
-            )
+            try:
+                return self._merge_inner(
+                    source, batch_id, m, changed_buckets, nonnull_new_cols or []
+                )
+            except HintViolation:
+                # fall through to the hint-free path below: the probe's
+                # bucket math disagreed with the table's — recompute the
+                # changed set from the source itself (correct by
+                # construction) instead of silently clobbering a bucket.
+                pass
         # no hints: pin the source so probe + join share one materialization.
         # DISK_ONLY: spark.local.dir is fast local storage (tmpfs here, NVMe
         # on a cluster) and skips the columnar-compression cache build.
@@ -300,11 +352,17 @@ class LakeTable:
             if c not in table_cols and c not in MERGE_META_COLS and c != BUCKET_COL
         ]
 
+        has_unset = _UNSET in source.columns
+        has_inc = _INC in source.columns
+        opt_meta = ([F.col(_UNSET)] if has_unset else []) + (
+            [F.col(_INC)] if has_inc else []
+        )
         src = source.select(
             *[F.col(c).cast(schema[c].dataType) for c in table_cols if c in source.columns],
             *[F.col(c) for c in new_cols],
             F.col(_OP),
             F.col(_PATCH),
+            *opt_meta,
         ).withColumn(BUCKET_COL, bucket_expr(key_cols, n_buckets))
 
         # --- bucket pruning + evolution probe in ONE aggregation job
@@ -314,9 +372,18 @@ class LakeTable:
             changed = sorted(hint_buckets)
             evolved = [c for c in new_cols if c in (hint_nonnull or [])]
         else:
+            # a new column counts as "carried" when the batch has a value OR
+            # a residual $inc for it (an increment on a not-yet-existing
+            # column must still evolve the schema)
+            def _carried(c: str):
+                nonnull = F.col(c).isNotNull()
+                if has_inc:
+                    nonnull = nonnull | F.element_at(F.col(_INC), F.lit(c)).isNotNull()
+                return nonnull
+
             probe = src.groupBy(BUCKET_COL).agg(
                 F.count(F.lit(1)).alias("_n"),
-                *[F.max(F.col(c).isNotNull()).alias(c) for c in new_cols],
+                *[F.max(_carried(c)).alias(c) for c in new_cols],
             ).collect()
             changed = sorted(r[BUCKET_COL] for r in probe)
             evolved = [c for c in new_cols if any(r[c] for r in probe)]
@@ -329,13 +396,14 @@ class LakeTable:
                 else F.lit(None).cast(schema[c].dataType).alias(c)
                 for c in table_cols
             ],
-            F.col(_OP), F.col(_PATCH), F.col(BUCKET_COL),
+            F.col(_OP), F.col(_PATCH), *opt_meta, F.col(BUCKET_COL),
         )
         n_src = 0 if not changed else None  # empty batch fast-path
         t_probe = time.monotonic() - t0
         if not changed:
             new_manifest = dict(m, version=m["version"] + 1,
-                                batch_ids=m["batch_ids"] + [batch_id])
+                                **self._batch_fields(m, batch_id))
+            new_manifest.pop("batch_ids", None)
             self._commit(new_manifest)
             return {"skipped": False, "batch_id": batch_id, "n_source": n_src or 0,
                     "changed_buckets": 0, "version": new_manifest["version"]}
@@ -384,10 +452,31 @@ class LakeTable:
             .otherwise(t_dead)
         ).alias(DELETED_COL)
 
+        def patch_val(c: str):
+            """Three-valued per-column patch resolution (replaces bare
+            coalesce): $unset/$set-null → NULL; residual $inc → target
+            value + delta (NULL counts 0, Mongo's inc-on-missing rule);
+            $set → source value; untouched → keep target."""
+            tc, sc = F.col(f"t.{c}"), F.col(f"s.{c}")
+            typ = schema[c].dataType
+            v = F.coalesce(sc, tc)
+            if has_inc:
+                delta = F.element_at(F.col(f"s.{_INC}"), F.lit(c))
+                v = F.when(
+                    delta.isNotNull(),
+                    (F.coalesce(tc.cast("double"), F.lit(0.0)) + delta).cast(typ),
+                ).otherwise(v)
+            if has_unset:
+                hit = F.coalesce(
+                    F.array_contains(F.col(f"s.{_UNSET}"), F.lit(c)), F.lit(False)
+                )
+                v = F.when(hit, F.lit(None).cast(typ)).otherwise(v)
+            return v
+
         def out_col(c: str):
             tc, sc = F.col(f"t.{c}"), F.col(f"s.{c}")
             return (
-                F.when(applies & is_patch, F.coalesce(sc, tc))
+                F.when(applies & is_patch, patch_val(c))
                 .when(applies & ~is_del, sc)
                 .when(applies & is_del, sc if c == ts_col else tc)
                 .when(src_only, sc)
@@ -409,6 +498,21 @@ class LakeTable:
             merged, version, n_buckets, m.get("files_per_bucket", 1),
             aligned=m.get("files_per_bucket", 1) == 1,
         )
+        # Guard: every written bucket must be one we read (a source row whose
+        # true bucket fell outside the hint set would otherwise replace that
+        # bucket's files with only itself — silent loss of its other keys).
+        # Raised BEFORE commit; merge() retries hint-free.
+        stray = set(new_files) - {str(b) for b in changed}
+        if stray:
+            if hint_buckets is not None:
+                raise HintViolation(
+                    f"hinted buckets {sorted(changed)} but merge output "
+                    f"touched {sorted(stray)}"
+                )
+            raise RuntimeError(
+                f"internal bucket-math mismatch: probe said {sorted(changed)}, "
+                f"write produced {sorted(stray)}"
+            )
         buckets.update(new_files)
         t_write = time.monotonic() - t1
         new_manifest = dict(
@@ -417,8 +521,9 @@ class LakeTable:
             schema=schema.jsonValue(),
             columns=table_cols,
             buckets=buckets,
-            batch_ids=m["batch_ids"] + [batch_id],
+            **self._batch_fields(m, batch_id),
         )
+        new_manifest.pop("batch_ids", None)
         self._commit(new_manifest)
         return {
             "skipped": False,

@@ -47,6 +47,10 @@ TRANSCRIPT_SCHEMA_V0 = T.StructType(
 OPLOG_SCHEMA = T.StructType(
     [
         T.StructField("ts", T.LongType(), False),
+        # BSON Timestamp increment analogue (optime_logger.py:25-28): the
+        # deterministic tiebreak for equal-second optimes. Nullable — a
+        # source without it degrades to ts-only ordering.
+        T.StructField("seq", T.LongType(), True),
         T.StructField("op", T.StringType(), False),
         T.StructField("ns", T.StringType(), False),
         T.StructField("doc", T.StringType(), True),
@@ -71,9 +75,20 @@ CHECKPOINT_SCHEMA = T.StructType(
 
 def payload_parse_schema(with_tool: bool = True) -> T.StructType:
     """Schema produced by the vectorized doc-parse UDF: payload columns plus
-    the patch marker. ``is_patch`` marks a ``$set``-style partial update
-    (reference: ``$``-key detection at
-    /root/reference/mongosync/multi_oplog_replayer.py:105-110)."""
+    the patch markers.
+
+    - ``is_patch`` marks a partial update (``$``-operator detection,
+      reference: /root/reference/mongosync/multi_oplog_replayer.py:105-110)
+    - ``unset_cols`` lists fields removed by ``$unset`` (or ``$set`` to JSON
+      null — identical on a fixed-schema table); reference translation:
+      /root/reference/mongosync/es/syncer.py:197-213
+    - ``inc_map`` carries ``$inc`` numeric deltas (the reference replays the
+      whole update server-side, mongo/handler.py:152 — ``$inc`` is the one
+      arithmetic operator a lake MERGE can express exactly)
+    - ``score`` is the open-ended numeric payload column (absent from the
+      input_hint snapshot; arrives mid-stream via schema evolution, like
+      ``tool``)
+    """
     fields = [
         T.StructField("conv_id", T.StringType(), True),
         T.StructField("turn_idx", T.IntegerType(), True),
@@ -82,5 +97,10 @@ def payload_parse_schema(with_tool: bool = True) -> T.StructType:
     ]
     if with_tool:
         fields.append(T.StructField("tool", T.StringType(), True))
+    fields.append(T.StructField("score", T.DoubleType(), True))
     fields.append(T.StructField("is_patch", T.BooleanType(), True))
+    fields.append(T.StructField("unset_cols", T.ArrayType(T.StringType()), True))
+    fields.append(
+        T.StructField("inc_map", T.MapType(T.StringType(), T.DoubleType()), True)
+    )
     return T.StructType(fields)

@@ -143,10 +143,28 @@ def gen_oplog_events(
         text.alias("text"),
     ))
     full_doc = F.when(has_tool, full_doc_evolved).otherwise(full_doc_plain)
-    patch_doc = F.to_json(F.struct(
+    # patch flavors (FIXTURES.md §2): the Mongo update-operator alphabet the
+    # engine expresses exactly — $set (half), $unset role (1/6), $inc score
+    # (2/6, exercising numeric-column schema evolution). Reference semantics:
+    # $set/$unset translation es/syncer.py:182-216; server-side update replay
+    # mongo/handler.py:152.
+    patch_kind = F.pmod(_h(seq, F.lit("pk"), F.lit(seed)), F.lit(6))
+    set_doc = F.to_json(F.struct(
         conv.alias("conv_id"), turn.alias("turn_idx"),
         F.struct(F.format_string("patched:: %s", text).alias("text")).alias("$set"),
     ))
+    unset_doc = F.format_string(
+        '{"conv_id": "%s", "turn_idx": %d, "$unset": {"role": ""}}', conv, turn
+    )
+    inc_doc = F.format_string(
+        '{"conv_id": "%s", "turn_idx": %d, "$inc": {"score": %d}}',
+        conv, turn, F.pmod(_h(seq, F.lit("inc"), F.lit(seed)), F.lit(9)) - 4,
+    )
+    patch_doc = (
+        F.when(patch_kind < 3, set_doc)
+        .when(patch_kind < 4, unset_doc)
+        .otherwise(inc_doc)
+    )
     key_doc = F.to_json(F.struct(conv.alias("conv_id"), turn.alias("turn_idx")))
     cmd_doc = F.lit(json.dumps({"cmd": "collMod"}))
 
@@ -174,6 +192,7 @@ def gen_oplog_events(
 
     return df.select(
         (F.lit(start_optime) + seq).alias("ts"),
+        seq.alias("seq"),  # BSON Timestamp increment analogue — equal-ts tiebreak
         op.alias("op"),
         ns.alias("ns"),
         doc.alias("doc"),
@@ -229,13 +248,21 @@ def oracle_replay(
     i/u-replace → upsert; u-patch → update-if-present; d → delete;
     n/c → no data effect. Returns the expected final table."""
     cfg = cfg or SyncConfig()
-    cols = [c for c in snapshot_pdf.columns if c != "ts"]
     state: dict = {}
     for rec in snapshot_pdf.to_dict("records"):
         state[(rec["conv_id"], rec["turn_idx"])] = dict(rec)
 
-    has_tool = "tool" in snapshot_pdf.columns
-    for rec in events_pdf.sort_values("ts").to_dict("records"):
+    # columns observed so far (schema evolution: a column exists from the
+    # first event that carries a value for it — tool, score, ...)
+    extra_order = ["tool", "score"]
+    extras = [c for c in extra_order if c in snapshot_pdf.columns]
+
+    def _note_extra(c: str) -> None:
+        if c in extra_order and c not in extras:
+            extras.append(c)
+
+    sort_cols = ["ts"] + (["seq"] if "seq" in events_pdf.columns else [])
+    for rec in events_pdf.sort_values(sort_cols).to_dict("records"):
         op, ns = rec["op"], rec["ns"]
         if not cfg.valid_oplog(op, ns):
             continue
@@ -244,15 +271,33 @@ def oracle_replay(
             continue
         doc = json.loads(rec["doc"]) if rec["doc"] else {}
         patch = doc.pop("$set", None)
+        unset = doc.pop("$unset", None)
+        inc = doc.pop("$inc", None)
+        for k in [k for k in doc if k.startswith("$")]:
+            doc.pop(k)  # unsupported operators: apply-without (engine parity)
         key = (doc.get("conv_id"), doc.get("turn_idx"))
         ts_val = pd.Timestamp(FIXTURE_EPOCH + rec["ts"], unit="s")
         if op == "d":
             state.pop(key, None)
         elif op in ("i", "u"):
-            if patch is not None:
+            if patch is not None or unset is not None or inc is not None:
                 if key in state:
-                    state[key].update(patch)
-                    state[key]["ts"] = ts_val
+                    row = state[key]
+                    for k, v in (patch or {}).items():
+                        row[k] = v  # $set None ≡ unset on fixed schema
+                        if v is not None:
+                            _note_extra(k)
+                    for k in (unset or {}):
+                        row[k] = None
+                    for k, v in (inc or {}).items():
+                        cur = row.get(k)
+                        try:
+                            cur = float(cur) if cur is not None else 0.0
+                        except (TypeError, ValueError):
+                            cur = 0.0
+                        row[k] = cur + float(v)
+                        _note_extra(k)
+                    row["ts"] = ts_val
             else:
                 row = {
                     "conv_id": doc.get("conv_id"),
@@ -261,12 +306,16 @@ def oracle_replay(
                     "text": doc.get("text"),
                     "ts": ts_val,
                 }
-                if has_tool or "tool" in doc:
-                    row["tool"] = doc.get("tool")
-                    has_tool = True
+                for c in extra_order:
+                    if doc.get(c) is not None:
+                        _note_extra(c)
+                for c in extras:
+                    row[c] = doc.get(c)
                 state[key] = row
-    base_cols = ["conv_id", "turn_idx", "role", "text"] + (["tool"] if has_tool else []) + ["ts"]
+    base_cols = ["conv_id", "turn_idx", "role", "text", *extras, "ts"]
     out = pd.DataFrame(list(state.values()), columns=None if state else base_cols)
-    if has_tool and "tool" not in out.columns:
-        out["tool"] = None
+    # exactly the evolved schema: stray keys from $set-null on a never-
+    # evolved column don't create a column (engine parity), missing late-
+    # evolved columns backfill NULL
+    out = out.reindex(columns=base_cols)
     return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)

@@ -42,7 +42,17 @@ from py_mongo_sync_spark.plans.lake import LakeTable
 from py_mongo_sync_spark.schema import FIXTURE_EPOCH, KEY_COLS
 
 STAGES = ("STOPPED", "INITIAL_SYNC", "POST_INITIAL_SYNC", "OPLOG_SYNC")
-PAYLOAD_COLS = ["conv_id", "turn_idx", "role", "text", "tool"]
+PAYLOAD_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "score"]
+
+#: Mongo update operators the engine cannot express on a lake table; events
+#: carrying one are applied WITHOUT it (the $set/$unset/$inc parts still
+#: apply) and counted into ``n_unsupported_ops`` telemetry — the reference's
+#: log-and-skip posture (mongo/handler.py:156-163). SyncConfig.strict_ops
+#: upgrades the count to a hard failure.
+UNSUPPORTED_OPS_RE = (
+    r'"\$(push|pull|pullAll|addToSet|pop|rename|mul|min|max|bit|'
+    r"currentDate|setOnInsert)\""
+)
 
 
 class CdcPipeline:
@@ -89,10 +99,10 @@ class CdcPipeline:
             df = parsed_events_jvm(df, with_tool=True)
         else:
             df = parsed_events(df, with_tool=True)
-        df = project_fields(
-            df, self.cfg,
-            always_keep=["ts", "op", "is_patch", "conv_id", "turn_idx"],
-        )
+        keep = ["ts", "op", "is_patch", "unset_cols", "inc_map", "conv_id", "turn_idx"]
+        if "seq" in df.columns:
+            keep.insert(1, "seq")
+        df = project_fields(df, self.cfg, always_keep=keep)
         return df.where(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
 
     def _filtered(self, events: DataFrame) -> DataFrame:
@@ -128,10 +138,19 @@ class CdcPipeline:
         row; from_json/get_json_object are CodegenFallback and re-parse per
         reference — measured 2.5× slower). The expensive full parse+fold
         then executes exactly once, inside the MERGE join job.
+
+        The probe's bucket ids MUST equal the MERGE's: Spark's Murmur3
+        hashes int and long differently, so the key columns are cast to the
+        MANIFEST schema's key types (not a hard-coded width) and extended-
+        JSON scalars are decoded exactly like the parse UDF. A residual
+        mismatch is caught by LakeTable's hint-violation fallback.
         """
+        from pyspark.sql import types as T
+
         from py_mongo_sync_spark.plans.lake import bucket_expr
 
         m = self.table.manifest()
+        tschema = T.StructType.fromJson(m["schema"])
         cand = self._evolution_candidates()
         op, ns = F.col("op"), F.col("ns")
         base = events.where(
@@ -141,22 +160,37 @@ class CdcPipeline:
 
         jt = base.select(
             "ts", "op",
-            F.json_tuple(F.col("doc"), "conv_id", "turn_idx", "$set", *cand).alias(
-                "conv_id", "turn_idx", "_set", *[f"_{c}" for c in cand]
+            F.json_tuple(F.col("doc"), "conv_id", "turn_idx", "$set", "$inc", *cand).alias(
+                "conv_id", "turn_idx", "_set", "_inc", *[f"_{c}" for c in cand]
             ),
             F.col("doc"),
         )
+        def key_cast(name: str):
+            """json_tuple string → the table schema's key type, decoding
+            BSON extended-JSON scalars ({"$numberLong": "7"}) the same way
+            the parse UDF does (functions/parse.py:_unwrap)."""
+            raw = F.col(name)
+            dtype = tschema[name].dataType
+            if isinstance(dtype, T.StringType):
+                return raw.alias(name)
+            num = F.regexp_extract(
+                raw, r'\{\s*"\$number(?:Int|Long|Double)"\s*:\s*"?(-?[0-9.eE+]+)"?\s*\}', 1
+            )
+            decoded = F.when(raw.startswith("{"), F.nullif(num, F.lit(""))).otherwise(raw)
+            return decoded.cast(dtype).alias(name)
+
         keyed = jt.select(
             "ts", "op",
-            F.col("conv_id"),
-            F.col("turn_idx").cast("int").alias("turn_idx"),
+            *[key_cast(k) for k in KEY_COLS],
             *[
                 (
                     F.col(f"_{c}").isNotNull()
                     | F.get_json_object(F.col("_set"), f"$.{c}").isNotNull()
+                    | F.get_json_object(F.col("_inc"), f"$.{c}").isNotNull()
                 ).alias(c)
                 for c in cand
             ],
+            ((F.col("op") == "u") & F.col("doc").rlike(UNSUPPORTED_OPS_RE)).alias("_unsup"),
             F.when(F.col("op") == "c", F.col("doc")).alias("_cmd"),
         ).where(
             (F.col("op") == "c")
@@ -173,6 +207,7 @@ class CdcPipeline:
                 F.count(F.lit(1)).alias("_n"),
                 F.max("ts").alias("_max_ts"),
                 F.min("ts").alias("_min_ts"),
+                F.sum(F.col("_unsup").cast("long")).alias("_n_unsup"),
                 *[F.max(F.col(c)).alias(c) for c in cand],
                 # when() is NULL for data rows and collect_list skips NULLs,
                 # so only the rare 'c' rows are ever buffered
@@ -198,6 +233,7 @@ class CdcPipeline:
             ],
             "commands": commands,
             "n_events": sum(r["_n"] for r in rows),
+            "n_unsupported_ops": sum(r["_n_unsup"] or 0 for r in rows),
             "min_ts": min((t for t in all_ts if t is not None), default=None),
         }
 
@@ -223,6 +259,15 @@ class CdcPipeline:
         second page-cached file scan it would save.
         """
         t0 = time.monotonic()
+        # replayed batch (restart re-delivery): the table already committed
+        # it — skip before ANY scan; no lineage rows, no expiry (idempotent
+        # exactly-once table state; reference analogue: the post-initial-sync
+        # duplicate-tolerance window, mongo/syncer.py:355-362).
+        if self.table.exists() and self.table.is_committed(batch_id):
+            res = {"skipped": True, "batch_id": batch_id,
+                   "version": self.table.latest_version(), "n_events": 0}
+            self.last_stats.append(res)
+            return res
         # (a) op-level stats: a column-pruned scan (ts/op/ns only — the doc
         # payload is never read) giving counts, watermarks and whether any
         # DDL commands exist
@@ -274,9 +319,21 @@ class CdcPipeline:
                 ],
                 "commands": commands,
                 "n_events": n_events,
+                # the big-batch path never scans the doc column, so the
+                # unsupported-operator count is unmeasured (None, not 0)
+                "n_unsupported_ops": None,
                 "min_ts": min(all_ts) if all_ts else None,
             }
         t_pstats = time.monotonic() - t0
+
+        # unsupported-update-operator telemetry (module const doc); strict
+        # mode fails the batch BEFORE any partial apply
+        if probe.get("n_unsupported_ops") and self.cfg.strict_ops:
+            raise RuntimeError(
+                f"batch {batch_id}: {probe['n_unsupported_ops']} events carry "
+                "update operators the lake MERGE cannot express "
+                "(strict_ops=True)"
+            )
 
         # (b) resume staleness gate (reference mongo/syncer.py:277-284)
         if not self._resume_checked and probe["min_ts"] is not None:
@@ -296,6 +353,8 @@ class CdcPipeline:
         folded = fold_net_events(
             parsed, key_cols=KEY_COLS, payload_cols=payload,
             ts_col="ts", op_col="op", patch_col="is_patch",
+            seq_col="seq" if "seq" in parsed.columns else None,
+            unset_col="unset_cols", inc_col="inc_map",
         )
         # envelope optime → the table's row timestamp
         source = folded.withColumn(
@@ -309,32 +368,38 @@ class CdcPipeline:
         )
 
         # (g) lineage/metrics — one row per bucket (the engine's partition
-        # unit; reference analogue: per-shard optime, optime_logger.py:21-40)
+        # unit; reference analogue: per-shard optime, optime_logger.py:21-40).
+        # A replayed batch (batch_id already committed) appends NOTHING:
+        # duplicate lineage rows would inflate n_events audits.
         wall_ms = int((time.monotonic() - t0) * 1000)
-        self.cplog.append(
-            [
-                {
-                    "batch_id": batch_id,
-                    "partition_id": r["partition_id"],
-                    "max_ts": r["max_ts"],
-                    "n_events": r["n"],
-                    "wall_ms": wall_ms,
-                    "committed_at_seq": batch_id,
-                }
-                for r in probe["bucket_stats"]
-            ]
-        )
-        # storage lifecycle: a continuous stream creates one version per
-        # batch — without expiry a CoW table's history grows unboundedly
-        # (Iceberg expire_snapshots; driver-side file deletes, no Spark job)
-        if (
-            self.cfg.expire_every
-            and batch_id > 0
-            and batch_id % self.cfg.expire_every == 0
-        ):
-            res["expired_files"] = self.table.expire_versions(self.cfg.keep_versions)
+        if not res.get("skipped"):
+            self.cplog.append(
+                [
+                    {
+                        "batch_id": batch_id,
+                        "partition_id": r["partition_id"],
+                        "max_ts": r["max_ts"],
+                        "n_events": r["n"],
+                        "wall_ms": wall_ms,
+                        "committed_at_seq": batch_id,
+                    }
+                    for r in probe["bucket_stats"]
+                ]
+            )
+            # storage lifecycle: a continuous stream creates one version per
+            # batch — without expiry a CoW table's history grows unboundedly
+            # (Iceberg expire_snapshots; driver-side file deletes, no Spark job)
+            if (
+                self.cfg.expire_every
+                and batch_id > 0
+                and batch_id % self.cfg.expire_every == 0
+            ):
+                res["expired_files"] = self.table.expire_versions(self.cfg.keep_versions)
 
-        res.update(n_events=n_events, wall_ms=wall_ms, t_pstats=round(t_pstats, 2))
+        res.update(
+            n_events=n_events, wall_ms=wall_ms, t_pstats=round(t_pstats, 2),
+            n_unsupported_ops=probe.get("n_unsupported_ops"),
+        )
         self.last_stats.append(res)
         return res
 

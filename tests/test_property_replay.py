@@ -18,7 +18,10 @@ from py_mongo_sync_spark.schema import KEY_COLS
 from py_mongo_sync_spark.sources.generate import oracle_replay
 from py_mongo_sync_spark.streaming.pipeline import CdcPipeline
 
-KEYS = [("c0", 0), ("c0", 1), ("c1", 0)]  # tiny key space → lots of collisions
+# tiny key space → lots of collisions; includes keys whose int-vs-long hash
+# buckets DISAGREE mod 2 (regression: the r1 probe hashed json_tuple ints
+# while the table schema was long — ADVICE r1 high finding)
+KEYS = [("c0", 0), ("c0", 1), ("c1", 0), ("c1", 1), ("c2", 2)]
 
 
 @st.composite
@@ -27,7 +30,9 @@ def event_sequences(draw):
     events = []
     for ts in range(1000, 1000 + n):
         conv, turn = draw(st.sampled_from(KEYS))
-        kind = draw(st.sampled_from(["i", "replace", "patch", "d", "n"]))
+        kind = draw(st.sampled_from(
+            ["i", "replace", "patch", "unset", "inc", "setnull", "d", "n"]
+        ))
         if kind == "d":
             doc = {"conv_id": conv, "turn_idx": turn}
             op = "d"
@@ -36,6 +41,16 @@ def event_sequences(draw):
         elif kind == "patch":
             doc = {"conv_id": conv, "turn_idx": turn,
                    "$set": {"text": f"patched-{ts}"}}
+            op = "u"
+        elif kind == "unset":
+            doc = {"conv_id": conv, "turn_idx": turn, "$unset": {"role": ""}}
+            op = "u"
+        elif kind == "setnull":
+            doc = {"conv_id": conv, "turn_idx": turn, "$set": {"text": None}}
+            op = "u"
+        elif kind == "inc":
+            doc = {"conv_id": conv, "turn_idx": turn,
+                   "$inc": {"score": draw(st.integers(-3, 3))}}
             op = "u"
         else:
             doc = {"conv_id": conv, "turn_idx": turn,
@@ -78,10 +93,19 @@ def test_any_sequence_any_batching_matches_oracle(spark, tmp_path_factory, seq):
 
     expected = oracle_replay(snap_pdf, ev_df.toPandas())
     expected = expected.where(pd.notnull(expected), None)
-    exp_df = spark.createDataFrame(
-        expected, schema="conv_id string, turn_idx long, role string, text string, ts timestamp"
-    )
-    rep = check_consistency(
-        exp_df, pipe.table.read(), KEY_COLS, ["role", "text", "ts"],
-    )
+    schema = "conv_id string, turn_idx long, role string, text string, ts timestamp"
+    value_cols = ["role", "text", "ts"]
+    if "score" in expected.columns:  # $inc evolved the numeric column
+        schema = schema.replace(", ts timestamp", ", score double, ts timestamp")
+        expected = expected[["conv_id", "turn_idx", "role", "text", "score", "ts"]]
+        value_cols.append("score")
+    exp_df = spark.createDataFrame(expected, schema=schema)
+    actual = pipe.table.read()
+    if "score" in value_cols and "score" not in actual.columns:
+        # oracle saw an inc on a then-existing key that the engine dropped?
+        # never valid — force the comparison to fail loudly via a NULL col
+        from pyspark.sql import functions as SF
+
+        actual = actual.withColumn("score", SF.lit(None).cast("double"))
+    rep = check_consistency(exp_df, actual, KEY_COLS, value_cols)
     assert rep["ok"], (rep, events, cuts)

@@ -350,26 +350,63 @@ def q_embedding_label_norms(spark, sf):
     )
 
 
-# ----------------------- non-SQL-expressible (rows-only) -------------------
+# ------------------- engine-native / hash-parity queries -------------------
+# (every one of these now carries a DuckDB oracle: cross-engine-deterministic
+# md5-derived hashing replaces xxhash64 in the QUERY variants; the xxhash64
+# forms remain the production hot path, pytest-verified against these)
 
 def q_cdc_replay_synthetic(spark, sf):
-    """The actual engine (LakeTable MERGE + fold) on synthesized transcripts —
-    stateful multi-version table writes; not expressible as one SQL query."""
-    return entry(spark)
+    """The actual engine end-to-end (probe → parse → fold → bucketed MERGE)
+    over an oplog derived deterministically from the events table, starting
+    from an empty table. The DuckDB oracle recomputes the final state with a
+    sequential LWW+patch fold in SQL — the driver-checked version of the
+    reference's src/dst consistency check (/root/reference/check.py:72-146)."""
+    from py_mongo_sync_spark.config import SyncConfig
+    from py_mongo_sync_spark.schema import FIXTURE_EPOCH, TRANSCRIPT_SCHEMA_V0
+    from py_mongo_sync_spark.streaming.pipeline import CdcPipeline
+
+    ev = _t(spark, sf, "events").where(F.col("event_type") != "view")
+    conv = F.concat(F.lit("c"), F.pmod(F.col("user_id"), F.lit(40)).cast("string"))
+    turn = F.pmod(F.col("event_id"), F.lit(6)).cast("int")
+    et = F.col("event_type")
+    op = F.when(et == "signup", "i").when(et == "error", "d").otherwise(F.lit("u"))
+    is_patch = et == "purchase"
+    text = F.concat(F.lit("e"), F.col("event_id").cast("string"))
+    ptext = F.concat(F.lit("p"), F.col("event_id").cast("string"))
+    full = F.to_json(F.struct(conv.alias("conv_id"), turn.alias("turn_idx"),
+                              et.alias("role"), text.alias("text")))
+    patch = F.to_json(F.struct(conv.alias("conv_id"), turn.alias("turn_idx"),
+                               F.struct(ptext.alias("text")).alias("$set")))
+    key = F.to_json(F.struct(conv.alias("conv_id"), turn.alias("turn_idx")))
+    doc = F.when(op == "d", key).when(is_patch, patch).otherwise(full)
+    env = ev.select(
+        F.col("event_id").alias("ts"), F.col("event_id").alias("seq"),
+        op.alias("op"), F.lit("chat.transcripts").alias("ns"), doc.alias("doc"),
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_replay_q_")
+    cfg = SyncConfig(dst_path=os.path.join(tmp, "lake"),
+                     checkpoint_path=os.path.join(tmp, "cp"), n_buckets=8)
+    pipe = CdcPipeline(spark, cfg)
+    pipe.initial_sync(spark.createDataFrame([], TRANSCRIPT_SCHEMA_V0))
+    pipe.replay_batch(env, batch_id=0)
+    return pipe.table.read().select(
+        "conv_id", "turn_idx", "role", "text",
+        (F.col("ts").cast("long") - F.lit(FIXTURE_EPOCH)).alias("optime"),
+    )
 
 
 def q_minhash_neardup(spark, sf):
-    from py_mongo_sync_spark.functions.similarity import minhash_candidate_pairs
+    from py_mongo_sync_spark.functions.similarity import minhash_candidate_pairs_md5
 
     d = _t(spark, sf, "documents")
-    return minhash_candidate_pairs(d, id_col="doc_id", text_col="text")
+    return minhash_candidate_pairs_md5(d, id_col="doc_id", text_col="text")
 
 
 def q_simhash_fingerprint(spark, sf):
-    from py_mongo_sync_spark.functions.similarity import simhash_fingerprints
+    from py_mongo_sync_spark.functions.similarity import simhash_fingerprints_md5
 
     d = _t(spark, sf, "documents")
-    return simhash_fingerprints(d, id_col="doc_id", text_col="text")
+    return simhash_fingerprints_md5(d, id_col="doc_id", text_col="text")
 
 
 def q_lang_id_heuristic(spark, sf):
@@ -382,12 +419,15 @@ def q_lang_id_heuristic(spark, sf):
 def q_simhash_neardup_pairs(spark, sf):
     from py_mongo_sync_spark.functions.similarity import (
         hamming_neardup_pairs,
-        simhash_fingerprints,
+        simhash_fingerprints_md5,
     )
 
     d = _t(spark, sf, "documents")
-    sigs = simhash_fingerprints(d, id_col="doc_id", text_col="text")
-    return hamming_neardup_pairs(sigs, "doc_id", "simhash64", max_hamming=8)
+    sigs = simhash_fingerprints_md5(d, id_col="doc_id", text_col="text")
+    # max_hamming=3 → 4-chunk blocking with exact recall by pigeonhole (the
+    # function derives chunk count from the radius); the DuckDB oracle does
+    # the all-pairs bit_count(xor) — identical output, quadratic only there
+    return hamming_neardup_pairs(sigs, "doc_id", "simhash48", max_hamming=3, bits=48)
 
 
 def q_ann_lsh_bucketed(spark, sf):
@@ -395,17 +435,20 @@ def q_ann_lsh_bucketed(spark, sf):
 
     e = _t(spark, sf, "embeddings")
     q = e.where("vec_id = 0").select("embedding")
-    return ann_bucketed_topk(e.where("vec_id <> 0"), q, k=10, n_planes=6, dim=64)
+    top = ann_bucketed_topk(
+        e.where("vec_id <> 0"), q, k=10, n_planes=6, dim=64, weight_mode="md5"
+    )
+    return top.select("vec_id", F.round("cos", 4).alias("cos_sim"))
 
 
 def q_quality_scores(spark, sf):
-    from py_mongo_sync_spark.functions.text import bpe_ish_token_count, quality_score
+    from py_mongo_sync_spark.functions.text import bpe_token_estimate, quality_score
 
     d = _t(spark, sf, "documents")
     return d.select(
         "doc_id",
         quality_score(F.col("text")).alias("quality"),
-        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+        bpe_token_estimate(F.col("text")).cast("long").alias("bpe_tokens"),
     )
 
 
@@ -639,4 +682,185 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm
             FROM embeddings GROUP BY label
         """,
+        "cdc_replay_synthetic": """
+            WITH ev AS (
+                SELECT event_id AS ot,
+                       'c' || CAST(user_id % 40 AS VARCHAR) AS conv_id,
+                       CAST(event_id % 6 AS INT) AS turn_idx,
+                       CASE event_type WHEN 'signup' THEN 'i' WHEN 'error' THEN 'd'
+                            WHEN 'purchase' THEN 'p' ELSE 'u' END AS op,
+                       event_type AS role,
+                       'e' || CAST(event_id AS VARCHAR) AS text,
+                       'p' || CAST(event_id AS VARCHAR) AS ptext
+                FROM events WHERE event_type <> 'view'
+            ), b AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                                 ORDER BY ot DESC) AS rn
+                    FROM ev WHERE op IN ('i', 'u', 'd')
+                ) WHERE rn = 1
+            ), p AS (
+                SELECT e.conv_id, e.turn_idx,
+                       max_by(e.ptext, e.ot) AS ptext, max(e.ot) AS pot
+                FROM ev e JOIN b ON e.conv_id = b.conv_id AND e.turn_idx = b.turn_idx
+                WHERE e.op = 'p' AND e.ot > b.ot
+                GROUP BY e.conv_id, e.turn_idx
+            )
+            SELECT b.conv_id, b.turn_idx, b.role,
+                   coalesce(p.ptext, b.text) AS text,
+                   greatest(b.ot, coalesce(p.pot, b.ot)) AS optime
+            FROM b LEFT JOIN p ON b.conv_id = p.conv_id AND b.turn_idx = p.turn_idx
+            WHERE b.op <> 'd'
+        """,
+        "lang_id_heuristic": """
+            WITH hits AS (
+                SELECT doc_id, lang, text,
+                       len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                           ['the','of','and','to','in','is','a'])) AS en,
+                       len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                           ['le','la','et','les','des','un','une'])) AS fr,
+                       len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                           ['el','de','y','los','las','en','una'])) AS es,
+                       len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                           ['der','und','die','das','ein','zu','mit'])) AS de
+                FROM documents
+            )
+            SELECT doc_id, lang,
+                   CASE WHEN length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}]', '', 'g')) > 0 THEN 'zh'
+                        WHEN de > greatest(en, fr, es) THEN 'de'
+                        WHEN es > greatest(en, fr) THEN 'es'
+                        WHEN fr > en THEN 'fr'
+                        ELSE 'en' END AS lang_pred
+            FROM hits
+        """,
+        "quality_scores": """
+            WITH s AS (
+                SELECT doc_id,
+                       len(string_split_regex(trim(text), '\\s+')) AS tok,
+                       length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS np,
+                       (length(text) - length(regexp_replace(text, '[.,!?;:''"]', '', 'g'))) * 1.0
+                           / greatest(length(text), 1) AS pr,
+                       len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                           ['the','of','and','to','in','is','a'])) * 1.0
+                           / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS sr
+                FROM documents
+            )
+            SELECT doc_id,
+                   round(((CASE WHEN tok BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.3 END)
+                        + (CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.5 END)
+                        + (CASE WHEN sr > 0.02 THEN 1.0 ELSE 0.6 END)) / 3.0, 4) AS quality,
+                   CAST(tok + np AS BIGINT) AS bpe_tokens
+            FROM s
+        """,
+        "multimodal_binary_meta": """
+            WITH s AS (
+                SELECT doc_id, octet_length(encode(text)) AS nb,
+                       coalesce(list_sum(list_transform(
+                           range(1, least(octet_length(encode(text)), 8) + 1),
+                           i -> ('0x' || substr(hex(encode(text)), (2*i-1)::INT, 2))::BIGINT
+                       )), 0) AS bsum
+                FROM documents
+            )
+            SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes, 'image' AS kind,
+                   CAST(64 + (bsum % 193) AS INT) AS width,
+                   CAST(64 + ((bsum * 7) % 131) AS INT) AS height
+            FROM s
+        """,
+        **_hash_parity_oracles(),
+    }
+
+
+def _hash_parity_oracles() -> dict[str, str]:
+    """Generated SQL for the md5-hash-parity queries (48 simhash bitplanes /
+    16 minhash seeds / 6 hyperplanes are built programmatically — the Spark
+    queries use the identical constants from functions/similarity.py)."""
+    from py_mongo_sync_spark.functions.similarity import minhash_affine_params
+
+    # --- simhash48: per-bitplane votes, then integer rebuild
+    bits = 48
+    votes = ",\n                   ".join(
+        f"sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    rebuild = "\n                 + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    simhash_cte = f"""
+        WITH tok AS (
+            SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+            FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
+                  FROM documents)
+        ), v AS (SELECT doc_id, {votes}
+                 FROM tok GROUP BY doc_id),
+        sig AS (SELECT doc_id, CAST({rebuild} AS BIGINT) AS simhash48 FROM v)
+    """
+    simhash = simhash_cte + "\n        SELECT doc_id, simhash48 FROM sig"
+    simhash_pairs = simhash_cte + """
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash48, b.simhash48)) AS INT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash48, b.simhash48)) <= 3
+    """
+
+    # --- minhash (16 seeds, 8 bands x 2 rows, 5-char shingles)
+    n_hashes, bands = 16, 8
+    mins = ",\n                   ".join(
+        "min(h * {a} + {b}) AS m{i}".format(a=a, b=b, i=i)
+        for i, (a, b) in ((i, minhash_affine_params(i)) for i in range(n_hashes))
+    )
+    band_rows = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {bnd} AS band, "
+        f"CAST(m{2 * bnd} AS VARCHAR) || ',' || CAST(m{2 * bnd + 1} AS VARCHAR) AS bkey FROM mins"
+        for bnd in range(bands)
+    )
+    minhash = f"""
+        WITH sh AS (
+            SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, greatest(len(text) - 4, 1) + 1),
+                                i -> substr(text, i::INT, 5))) AS s
+                  FROM documents)
+        ), mins AS (SELECT doc_id, {mins}
+                    FROM sh GROUP BY doc_id),
+        bands AS ({band_rows})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands_matched
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    """
+
+    # --- LSH-bucketed ANN (6 md5-weight hyperplanes over 64 dims)
+    def wlist(p: int) -> str:
+        return (
+            "list_transform(range(0, 64), i -> "
+            f"((('0x' || substr(md5('{p},' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 2001)"
+            " - 1000) / 1000.0)"
+        )
+
+    def bucket(v: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({v}, {wlist(p)}) > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(6)
+        )
+
+    cos = ("list_dot_product(v, qv) / (sqrt(list_dot_product(v, v))"
+           " * sqrt(list_dot_product(qv, qv)))")
+    ann = f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        qb AS (SELECT {bucket('qv')} AS qbucket FROM q),
+        cand AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id <> 0
+              AND {bucket('embedding::DOUBLE[]')} = (SELECT qbucket FROM qb)
+        )
+        SELECT vec_id, round({cos}, 4) AS cos_sim
+        FROM cand, q
+        ORDER BY {cos} DESC, vec_id
+        LIMIT 10
+    """
+    return {
+        "simhash_fingerprint": simhash,
+        "simhash_neardup_pairs": simhash_pairs,
+        "minhash_neardup": minhash,
+        "ann_lsh_bucketed": ann,
     }

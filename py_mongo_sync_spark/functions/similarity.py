@@ -33,8 +33,15 @@ def minhash_signature(text_col: str, n_hashes: int = 32, k: int = 5):
     """Array of ``n_hashes`` min-hashes over char k-gram shingles. Each hash
     family member is xxhash64(shingle, seed=i) — deterministic, no RNG."""
     sh = char_shingles(text_col, k)
+
+    def _seeded(i: int):
+        # closure factory, NOT a default-arg lambda (pyspark would read the
+        # default as a second (index) parameter and bind i to the index,
+        # collapsing every family member to the same hash)
+        return lambda s: F.xxhash64(s, F.lit(i))
+
     return F.array(
-        *[F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i)))) for i in range(n_hashes)]
+        *[F.array_min(F.transform(sh, _seeded(i))) for i in range(n_hashes)]
     )
 
 
@@ -85,6 +92,116 @@ def minhash_candidate_pairs(
     )
 
 
+def md5_long(col, hexchars: int = 15):
+    """First ``hexchars`` hex digits of md5 as a non-negative long — the
+    cross-engine deterministic hash (identical in DuckDB as
+    ``('0x'||substr(md5(x),1,n))::BIGINT``; Spark's xxhash64 has no DuckDB
+    twin). 15 hex chars = 60 bits, 8 = 32 bits."""
+    return F.conv(F.substring(F.md5(col), 1, hexchars), 16, 10).cast("long")
+
+
+def minhash_affine_params(i: int) -> tuple[int, int]:
+    """Seed-i affine mixer (a*h + b) over the 32-bit md5 base hash:
+    odd multiplier < 2^25 keeps products < 2^57 (no signed-64 overflow) —
+    the same constants are inlined into the DuckDB oracle SQL."""
+    return 999_983 * (2 * i + 1), 7_919 * i + 13
+
+
+def minhash_signature_md5(text_col: str, n_hashes: int = 16, k: int = 5):
+    """Oracle-parity MinHash: ONE md5 per shingle (32-bit base), mixed per
+    seed by an affine family — exact integer math in both engines. The
+    xxhash64 variant above stays the production path (1 JVM hash vs md5's
+    digest cost)."""
+    sh = char_shingles(text_col, k)
+    base = F.transform(sh, lambda s: md5_long(s, 8))
+
+    def _affine(a: int, b: int):
+        # closure factory: a default-arg lambda would be introspected as a
+        # 2-arg (element, index) lambda and silently bind the index instead
+        return lambda h: h * F.lit(a) + F.lit(b)
+
+    mins = []
+    for i in range(n_hashes):
+        a, b = minhash_affine_params(i)
+        mins.append(F.array_min(F.transform(base, _affine(a, b))))
+    return F.array(*mins)
+
+
+def minhash_candidate_pairs_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """LSH banding over the md5 signature; band key = the concatenated
+    band rows themselves (no extra hash → byte-identical across engines).
+    Same shuffle shape as :func:`minhash_candidate_pairs`."""
+    rows_per_band = n_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature_md5(text_col, n_hashes, k).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("_sig", b * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bkey")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a._id") < F.col("b._id")),
+    )
+    return (
+        pairs.groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .agg(F.count("*").alias("n_bands_matched"))
+    )
+
+
+def simhash_fingerprints_md5(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 48
+) -> DataFrame:
+    """Oracle-parity SimHash: md5-based token hash (60 bits), 48-bit
+    signature (stays clear of the signed-64 sign bit so the DuckDB oracle
+    can rebuild it with plain integer sums). Same single-shuffle shape as
+    :func:`simhash_fingerprints`."""
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("_t"),
+    ).withColumn("_h", md5_long(F.col("_t"), 15))
+    votes = [
+        F.sum(
+            (F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+        ).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("_id").agg(*votes)
+    sig = None
+    for b in range(bits):
+        bit = F.when(F.col(f"_b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseXOR(term)  # disjoint bits: XOR == OR
+    return agg.select(F.col("_id").alias(id_col), sig.alias(f"simhash{bits}"))
+
+
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash per document: explode tokens once, one groupBy with a
     sum per bitplane (single shuffle; all whole-stage-codegen expressions).
@@ -108,15 +225,40 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 
     return agg.select(F.col("_id").alias(id_col), sig.alias("simhash64"))
 
 
-def hamming_neardup_pairs(sig_df: DataFrame, id_col: str, sig_col: str, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup join: block on 4 16-bit chunks (a pair within
-    hamming distance 3 of 64 bits must agree on ≥1 chunk — pigeonhole),
-    then verify exact hamming via bit_count(xor). Blocked join, not all-pairs."""
+def hamming_neardup_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """SimHash near-dup join with GUARANTEED recall: block on
+    ``max_hamming + 1`` bit-chunks — a pair within ``max_hamming`` of
+    ``bits`` differs in at most ``max_hamming`` chunks, so by pigeonhole it
+    agrees on ≥ 1 of the ``max_hamming + 1`` chunks — then verify exact
+    hamming via ``bit_count(xor)``. Blocked join, never all-pairs.
+
+    Scale note: chunk width = ``bits // (max_hamming + 1)``; wider chunks
+    (lower max_hamming) give finer blocking. At max_hamming=3 over 64 bits
+    the blocks are 16-bit (65k values); beyond max_hamming≈7 the ≤8-bit
+    blocks get coarse and candidate sets grow — prefer a second-level
+    block (e.g. chunk-pair keys) before raising the radius at corpus scale.
+    """
+    n_chunks = max_hamming + 1
+    if n_chunks > bits:
+        raise ValueError(f"max_hamming={max_hamming} needs more chunks than {bits} bits")
+    base, rem = divmod(bits, n_chunks)
+    widths = [base + (1 if i < rem else 0) for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
     chunks = F.array(
         *[
-            F.struct(F.lit(i).alias("chunk"),
-                     F.shiftright(F.col(sig_col), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("cval"))
-            for i in range(4)
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftright(F.col(sig_col), offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias("cval"),
+            )
+            for i in range(n_chunks)
         ]
     )
     blocked = sig_df.select(
@@ -164,23 +306,34 @@ def brute_force_topk(
 
 def lsh_hyperplane_buckets(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    n_planes: int = 8, dim: int = 64,
+    n_planes: int = 8, dim: int = 64, weight_mode: str = "xxhash",
 ) -> DataFrame:
     """Random-hyperplane LSH signature (the IVF-style scale path for ANN):
     plane p, component i has deterministic pseudo-random weight derived from
-    xxhash64(p, i) mapped to [-1, 1]. Vectors in the same bucket are the
-    candidate set — search touches one bucket instead of the corpus."""
+    hash(p, i) mapped to [-1, 1]. Vectors in the same bucket are the
+    candidate set — search touches one bucket instead of the corpus.
+    ``weight_mode='md5'`` derives weights from md5 instead of xxhash64 so a
+    DuckDB oracle can rebuild the identical buckets."""
     dv = F.transform(vec_col, lambda x: x.cast("double"))
+
+    def _weight_fn(p: int):
+        # closure factory — a `lambda i, p=p:` would be introspected as a
+        # 2-arg (element, index) lambda, binding p to the INDEX column and
+        # collapsing every plane to the same hyperplane (r1 latent bug)
+        def w(i):
+            if weight_mode == "md5":
+                h = md5_long(F.concat(F.lit(f"{p},"), i.cast("string")), 8)
+                return (h % 2001 - 1000.0) / 1000.0
+            return (F.pmod(F.xxhash64(i, F.lit(p)), F.lit(2001)) - 1000.0) / 1000.0
+
+        return w
+
     bits = []
     for p in range(n_planes):
-        # deterministic weight for (p, i): hash → [-1, 1]
         proj = F.aggregate(
             F.zip_with(
                 dv,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda i, p=p: (F.pmod(F.xxhash64(i, F.lit(p)), F.lit(2001)) - 1000.0) / 1000.0,
-                ),
+                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), _weight_fn(p)),
                 lambda a, w: a * w,
             ),
             F.lit(0.0),
@@ -196,12 +349,13 @@ def lsh_hyperplane_buckets(
 def ann_bucketed_topk(
     emb: DataFrame, query_vec: DataFrame, id_col: str = "vec_id",
     vec_col: str = "embedding", k: int = 10, n_planes: int = 8, dim: int = 64,
+    weight_mode: str = "xxhash",
 ) -> DataFrame:
     """ANN: hash the query into its LSH bucket, rank only that bucket.
     Approximate (recall < 1) but the scan is 1/2^n_planes of the corpus."""
-    buckets = lsh_hyperplane_buckets(emb, id_col, vec_col, n_planes, dim)
+    buckets = lsh_hyperplane_buckets(emb, id_col, vec_col, n_planes, dim, weight_mode)
     qb = lsh_hyperplane_buckets(query_vec.select(F.lit(-1).alias(id_col), F.col(vec_col)),
-                                id_col, vec_col, n_planes, dim)
+                                id_col, vec_col, n_planes, dim, weight_mode)
     cand = buckets.join(F.broadcast(qb.select(F.col("bucket").alias("_qb"))),
                         F.col("bucket") == F.col("_qb"))
     return brute_force_topk(cand, query_vec, id_col, vec_col, k)

@@ -27,6 +27,14 @@ def bpe_ish_token_count(text: Column) -> Column:
     ) + token_count(text)
 
 
+def bpe_token_estimate(text: Column) -> Column:
+    """Sub-token estimate without regex lookarounds (RE2-compatible, so a
+    DuckDB oracle can replicate it exactly): whitespace tokens + one extra
+    token per punctuation mark."""
+    punct = F.length(text) - F.length(F.regexp_replace(text, r"[\.,!\?;:]", ""))
+    return token_count(text) + punct
+
+
 def punct_ratio(text: Column) -> Column:
     punct = F.length(text) - F.length(F.regexp_replace(text, r"[\.,!\?;:'\"]", ""))
     return punct / F.greatest(F.length(text), F.lit(1))

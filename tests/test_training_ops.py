@@ -70,6 +70,48 @@ def test_simhash_and_hamming_join(spark, docs):
     assert all(r["hamming"] <= 3 for r in pairs)
 
 
+@pytest.mark.parametrize("max_h", [3, 8])
+def test_hamming_blocking_matches_bruteforce(spark, max_h):
+    """Recall guarantee (VERDICT r1 fix): the chunk-blocked join must return
+    EXACTLY the pairs the all-pairs bit_count(xor) oracle finds, for any
+    radius — including distances that defeat 4-chunk blocking (r1 missed
+    pairs at hamming 4-8 differing in all four 16-bit chunks)."""
+    import random
+
+    rng = random.Random(7)
+    sigs = []
+    base_sigs = [rng.getrandbits(63) for _ in range(250)]
+    for i, s in enumerate(base_sigs):
+        sigs.append((2 * i, s))
+        # a perturbed twin at a random distance 1..10, bits spread across
+        # the WHOLE word so some twins differ in every 16-bit chunk
+        flips = rng.sample(range(64), rng.randint(1, 10))
+        t = s
+        for b in flips:
+            t ^= 1 << b
+        # normalize to signed 64-bit long
+        t = t - (1 << 64) if t >= (1 << 63) else t
+        sigs.append((2 * i + 1, t))
+    df = spark.createDataFrame(sigs, "doc_id long, sig long")
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in hamming_neardup_pairs(df, "doc_id", "sig", max_hamming=max_h).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    brute = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_h)
+        .collect()
+    }
+    assert got == brute and len(brute) > 50
+
+
 def test_brute_force_and_lsh_ann(spark):
     import math
 

@@ -89,10 +89,12 @@ class CdcPipeline:
 
     # ----------------------------------------------------------- transform
 
-    def transform(self, events: DataFrame) -> DataFrame:
+    def transform(self, events: DataFrame, multi_ns: list[str] | None = None) -> DataFrame:
         """Envelope → parsed/filtered/renamed/projected payload rows.
-        All column expressions + one Arrow-vectorized parse UDF."""
-        df = self._filtered(events)
+        All column expressions + one Arrow-vectorized parse UDF. With
+        ``multi_ns`` the ns column survives (MultiCdcPipeline parses the
+        whole batch ONCE and routes per-table afterwards)."""
+        df = self._filtered(events, multi_ns)
         if self.cfg.parse_mode == "jvm":
             from py_mongo_sync_spark.functions.parse import parsed_events_jvm
 
@@ -100,19 +102,27 @@ class CdcPipeline:
         else:
             df = parsed_events(df, with_tool=True)
         keep = ["ts", "op", "is_patch", "unset_cols", "inc_map", "conv_id", "turn_idx"]
+        if multi_ns is not None:
+            keep.insert(0, "ns")
         if "seq" in df.columns:
             keep.insert(1, "seq")
         df = project_fields(df, self.cfg, always_keep=keep)
         return df.where(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
 
-    def _filtered(self, events: DataFrame) -> DataFrame:
+    def _filtered(
+        self, events: DataFrame, multi_ns: list[str] | None = None
+    ) -> DataFrame:
         """The envelope-level filter/rename shared by transform() and the
         key probe — must keep exactly the same rows in both."""
         op, ns = F.col("op"), F.col("ns")
         df = events.where(
             valid_oplog_filter(self.cfg, op, ns) & system_ns_filter(ns)
         ).withColumn("ns", rename_ns(self.cfg, ns))
-        return df.where(F.col("ns") == self.dst_ns).where(op.isin("i", "u", "d"))
+        if multi_ns is not None:
+            df = df.where(F.col("ns").isin(multi_ns))
+        else:
+            df = df.where(F.col("ns") == self.dst_ns)
+        return df.where(op.isin("i", "u", "d"))
 
     def _evolution_candidates(self) -> list[str]:
         """Payload columns not yet in the table schema (and not projected
@@ -124,7 +134,12 @@ class CdcPipeline:
             and (not self.cfg.include_fields or c in self.cfg.include_fields)
         ]
 
-    def _batch_probe(self, events: DataFrame) -> dict:
+    def _batch_probe(
+        self,
+        events: DataFrame,
+        multi_ns: list[str] | None = None,
+        cand_override: list[str] | None = None,
+    ) -> dict:
         """ONE cheap scan of the raw batch envelope that yields everything
         the driver needs before the MERGE:
 
@@ -151,15 +166,20 @@ class CdcPipeline:
 
         m = self.table.manifest()
         tschema = T.StructType.fromJson(m["schema"])
-        cand = self._evolution_candidates()
+        cand = cand_override if cand_override is not None else self._evolution_candidates()
         op, ns = F.col("op"), F.col("ns")
         base = events.where(
             valid_oplog_filter(self.cfg, op, ns) & system_ns_filter(ns)
         ).withColumn("ns", rename_ns(self.cfg, ns))
-        base = base.where(F.col("ns") == self.dst_ns).where(op.isin("i", "u", "d", "c"))
+        if multi_ns is not None:
+            base = base.where(F.col("ns").isin(multi_ns))
+        else:
+            base = base.where(F.col("ns") == self.dst_ns)
+        base = base.where(op.isin("i", "u", "d", "c"))
 
+        group_ns = ["ns"] if multi_ns is not None else []
         jt = base.select(
-            "ts", "op",
+            "ts", "op", *group_ns,
             F.json_tuple(F.col("doc"), "conv_id", "turn_idx", "$set", "$inc", *cand).alias(
                 "conv_id", "turn_idx", "_set", "_inc", *[f"_{c}" for c in cand]
             ),
@@ -180,7 +200,7 @@ class CdcPipeline:
             return decoded.cast(dtype).alias(name)
 
         keyed = jt.select(
-            "ts", "op",
+            "ts", "op", *group_ns,
             *[key_cast(k) for k in KEY_COLS],
             *[
                 (
@@ -196,13 +216,13 @@ class CdcPipeline:
             (F.col("op") == "c")
             | (F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
         )
-        # data rows group by bucket; 'c' rows land in the NULL-bucket group
+        # data rows group by (ns,) bucket; 'c' rows land in the NULL-bucket group
         rows = (
             keyed.withColumn(
                 "_b",
                 F.when(F.col("op") != "c", bucket_expr(KEY_COLS, m["n_buckets"])),
             )
-            .groupBy("_b")
+            .groupBy(*group_ns, "_b")
             .agg(
                 F.count(F.lit(1)).alias("_n"),
                 F.max("ts").alias("_max_ts"),
@@ -217,6 +237,15 @@ class CdcPipeline:
             )
             .collect()
         )
+        if multi_ns is None:
+            return self._probe_dict(rows, cand)
+        return {
+            nsv: self._probe_dict([r for r in rows if r["ns"] == nsv], cand)
+            for nsv in multi_ns
+        }
+
+    @staticmethod
+    def _probe_dict(rows: list, cand: list[str]) -> dict:
         data_rows = [r for r in rows if r["_b"] is not None]
         cmd_rows = [r for r in rows if r["_b"] is None]
         commands = sorted(
@@ -326,6 +355,36 @@ class CdcPipeline:
             }
         t_pstats = time.monotonic() - t0
 
+        # (d) transform, (e) fold to one net event per key — lazily; this
+        # lineage executes exactly once, inside the MERGE join job
+        parsed = self.transform(events)
+        folded = self._fold(parsed)
+        return self._finish_batch(folded, probe, batch_id, t0,
+                                  n_events=n_events, t_pstats=t_pstats)
+
+    @staticmethod
+    def _fold(parsed: DataFrame, extra_keys: list[str] | None = None) -> DataFrame:
+        payload = [c for c in PAYLOAD_COLS if c in parsed.columns]
+        return fold_net_events(
+            parsed, key_cols=(extra_keys or []) + KEY_COLS, payload_cols=payload,
+            ts_col="ts", op_col="op", patch_col="is_patch",
+            seq_col="seq" if "seq" in parsed.columns else None,
+            unset_col="unset_cols", inc_col="inc_map",
+        )
+
+    def _finish_batch(
+        self,
+        folded: DataFrame,
+        probe: dict,
+        batch_id: int,
+        t0: float,
+        n_events: int | None = None,
+        t_pstats: float = 0.0,
+    ) -> dict:
+        """Apply tail for an already-folded net-event source: strictness +
+        staleness gates, DDL replay, MERGE with probe hints, lineage rows,
+        version expiry. Shared by the single-table path and
+        MultiCdcPipeline's single-scan fan-out."""
         # unsupported-update-operator telemetry (module const doc); strict
         # mode fails the batch BEFORE any partial apply
         if probe.get("n_unsupported_ops") and self.cfg.strict_ops:
@@ -346,25 +405,19 @@ class CdcPipeline:
         if probe["commands"]:
             self._apply_commands(probe["commands"])
 
-        # (d) transform, (e) fold to one net event per key — lazily; this
-        # lineage executes exactly once, inside the MERGE join job
-        parsed = self.transform(events)
-        payload = [c for c in PAYLOAD_COLS if c in parsed.columns]
-        folded = fold_net_events(
-            parsed, key_cols=KEY_COLS, payload_cols=payload,
-            ts_col="ts", op_col="op", patch_col="is_patch",
-            seq_col="seq" if "seq" in parsed.columns else None,
-            unset_col="unset_cols", inc_col="inc_map",
-        )
         # envelope optime → the table's row timestamp
         source = folded.withColumn(
             "ts", F.timestamp_seconds(F.lit(FIXTURE_EPOCH) + F.col("ts"))
         )
+        # evolution hints restricted to THIS table's candidates (a shared
+        # multi-ns probe reports the union)
+        cand = set(self._evolution_candidates())
 
         # (f) MERGE
         res = self.table.merge(
             source, batch_id=batch_id,
-            changed_buckets=probe["buckets"], nonnull_new_cols=probe["nonnull_new"],
+            changed_buckets=probe["buckets"],
+            nonnull_new_cols=[c for c in probe["nonnull_new"] if c in cand],
         )
 
         # (g) lineage/metrics — one row per bucket (the engine's partition
@@ -397,7 +450,8 @@ class CdcPipeline:
                 res["expired_files"] = self.table.expire_versions(self.cfg.keep_versions)
 
         res.update(
-            n_events=n_events, wall_ms=wall_ms, t_pstats=round(t_pstats, 2),
+            n_events=n_events if n_events is not None else probe["n_events"],
+            wall_ms=wall_ms, t_pstats=round(t_pstats, 2),
             n_unsupported_ops=probe.get("n_unsupported_ops"),
         )
         self.last_stats.append(res)
@@ -472,7 +526,69 @@ class MultiCdcPipeline:
             self.pipes[ns].initial_sync(df)
 
     def apply_batch(self, events: DataFrame, batch_id: int) -> dict[str, dict]:
-        return {ns: p.apply_batch(events, batch_id) for ns, p in self.pipes.items()}
+        """Single-scan fan-out: ONE shared probe grouped by (ns, bucket) and
+        ONE parse+fold over the whole microbatch (persisted), then a
+        per-table MERGE of each namespace's slice. The r1 version re-ran the
+        full probe+parse per namespace — N scans of the same raw batch, a
+        driver-side serialization that dies at the reference's real workload
+        (a whole replica set of collections; reference precedent: one tail
+        loop feeding per-ns groups, multi_oplog_replayer.py:45-53)."""
+        import time as _time
+
+        from pyspark import StorageLevel
+        from pyspark.sql import types as T
+
+        t0 = _time.monotonic()
+        results: dict[str, dict] = {}
+        pending = {
+            ns: p for ns, p in self.pipes.items()
+            if not (p.table.exists() and p.table.is_committed(batch_id))
+        }
+        for ns, p in self.pipes.items():
+            if ns not in pending:
+                results[ns] = {"skipped": True, "batch_id": batch_id,
+                               "version": p.table.latest_version(), "n_events": 0}
+        if not pending:
+            return results
+
+        lead = next(iter(pending.values()))
+        # the shared probe hashes keys at ONE schema's key types — verify the
+        # destinations agree (they share the transcripts key); heterogeneous
+        # key schemas fall back to the per-pipe path, correctness first
+        key_sigs = {
+            tuple(
+                str(T.StructType.fromJson(p.table.manifest()["schema"])[k].dataType)
+                for k in KEY_COLS
+            )
+            for p in pending.values()
+        }
+        if len(key_sigs) > 1:
+            results.update(
+                {ns: p.apply_batch(events, batch_id) for ns, p in pending.items()}
+            )
+            return results
+
+        ns_list = sorted(pending)
+        cand_union = sorted(
+            {c for p in pending.values() for c in p._evolution_candidates()}
+        )
+        probes = lead._batch_probe(events, multi_ns=ns_list, cand_override=cand_union)
+        t_probe = _time.monotonic() - t0
+
+        parsed = lead.transform(events, multi_ns=ns_list)
+        folded = lead._fold(parsed, extra_keys=["ns"]).persist(StorageLevel.DISK_ONLY)
+        try:
+            for ns in ns_list:
+                p = pending[ns]
+                t_ns = _time.monotonic()
+                slice_df = folded.where(F.col("ns") == ns).drop("ns")
+                res = p._finish_batch(
+                    slice_df, probes[ns], batch_id, t_ns, t_pstats=t_probe
+                )
+                results[ns] = res
+        finally:
+            folded.unpersist()
+        return results
 
     def run_stream(self, events_stream: DataFrame, spark_checkpoint_dir: str,
                    available_now: bool = True):

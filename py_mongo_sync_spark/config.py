@@ -50,6 +50,12 @@ class SyncConfig:
     n_buckets: int = 16
     files_per_bucket: int = 1
     salt_buckets: int = 8
+    #: 'cow' rewrites changed buckets per MERGE (read-optimized);
+    #: 'mor' appends per-bucket net-event delta files and resolves at read
+    #: time (write ∝ batch size — the 100 TB streaming default), compacting
+    #: a bucket once ``compact_threshold`` deltas accumulate.
+    write_mode: str = "cow"
+    compact_threshold: int = 16
     #: 'pandas' = Arrow-vectorized UDF (handles BSON extended JSON);
     #: 'jvm' = from_json fast path (plain JSON only, whole-stage codegen)
     parse_mode: str = "pandas"

@@ -61,6 +61,7 @@ _OP = "_op"
 _PATCH = "_is_patch"
 _UNSET = "_unset_cols"
 _INC = "_inc_map"
+_BSEQ = "_batch_seq"
 
 #: Columns a MERGE source may carry beyond the table columns. _UNSET
 #: (array<string>: patch columns to NULL — $unset / $set-to-null,
@@ -185,6 +186,7 @@ class LakeTable:
         n_buckets: int,
         files_per_bucket: int,
         aligned: bool = False,
+        root: str = "data",
     ) -> dict[str, list[str]]:
         """Write rows (must already carry BUCKET_COL) partitioned by bucket;
         return {bucket: [absolute files]}. When ``aligned`` the caller
@@ -193,7 +195,7 @@ class LakeTable:
         buckets and no repartition is needed — ``partitionBy`` splits the
         few buckets per task into their own files. Otherwise repartition on
         the bucket (+ an intra-bucket salt when files_per_bucket > 1)."""
-        out = self._data_dir(version)
+        out = os.path.join(self.path, root, f"v{version:08d}")
         if not aligned:
             if files_per_bucket > 1:
                 part_cols = [F.col(BUCKET_COL), F.pmod(F.xxhash64(F.rand(seed=0)), F.lit(files_per_bucket))]
@@ -221,10 +223,22 @@ class LakeTable:
         ts_col: str = "ts",
         n_buckets: int = 16,
         files_per_bucket: int = 1,
+        write_mode: str = "cow",
     ) -> "LakeTable":
         """Initial snapshot load (reference K1: idempotent full load,
         /root/reference/mongosync/mongo/syncer.py:104-123 — re-runs converge
-        because the whole version is replaced atomically)."""
+        because the whole version is replaced atomically).
+
+        ``write_mode``: 'cow' rewrites changed buckets in full on every
+        MERGE (read-optimized); 'mor' (merge-on-read, Iceberg MoR /
+        deletion-vector analogue) appends per-bucket delta files of net
+        events and resolves at read time, compacting per bucket every
+        ``compact_threshold`` deltas — per-batch write I/O scales with the
+        BATCH, not the table (the 100-TB-stream requirement: a CoW table
+        whose every microbatch touches most buckets rewrites O(table) per
+        batch)."""
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
         version = (self.latest_version() + 1) if self.exists() else 1
         data_cols = df.columns
         dfb = df.withColumn(DELETED_COL, F.lit(False)).withColumn(
@@ -239,7 +253,9 @@ class LakeTable:
             "ts_col": ts_col,
             "n_buckets": n_buckets,
             "files_per_bucket": files_per_bucket,
+            "write_mode": write_mode,
             "buckets": buckets,
+            "deltas": {},
             "max_batch_id": None,
             "recent_batch_ids": [],
         }
@@ -261,20 +277,78 @@ class LakeTable:
         Deleted keys persist as hidden tombstone rows (``_deleted=true``) so
         a replayed/out-of-order stale insert can never resurrect them — the
         monotone-ts guard applies to deletes exactly like to updates. Normal
-        reads filter them out; MERGE reads them."""
+        reads filter them out; MERGE reads them.
+
+        Merge-on-read buckets with pending delta files resolve here: base
+        rows + net-event deltas feed the SAME per-key fold the pipeline uses
+        (operators/dedup.py) ordered by (ts, batch_seq) — one window pass
+        per touched bucket, pruned identically."""
         m = self.manifest(version)
         schema = T.StructType.fromJson(m["schema"])
         phys = T.StructType(schema.fields + [T.StructField(DELETED_COL, T.BooleanType(), True)])
         bmap = m["buckets"]
-        keys = [str(b) for b in buckets] if buckets is not None else list(bmap)
+        dmap = m.get("deltas", {})
+        if buckets is not None:
+            keys = [str(b) for b in buckets]
+        else:
+            keys = sorted(set(bmap) | {k for k, v in dmap.items() if v}, key=int)
         files = [f for k in keys for f in bmap.get(k, [])]
         if not files:
             df = self.spark.createDataFrame([], phys)
         else:
             df = self.spark.read.schema(phys).parquet(*files)
+        dfiles = [f for k in keys for f in dmap.get(k, [])]
+        if dfiles:
+            df = self._resolve_deltas(m, schema, df, dfiles)
         if include_tombstones:
             return df
         return df.where(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
+
+    def _resolve_deltas(
+        self, m: dict, schema: T.StructType, base: DataFrame, dfiles: list[str]
+    ) -> DataFrame:
+        """Merge-on-read resolution: base rows become 'replace'/'delete'
+        events at their stored ts (batch_seq −1 so any delta wins an equal-ts
+        tie, matching the CoW monotone guard's ``src.ts >= tgt.ts``); delta
+        net events replay over them through the engine's own per-key fold —
+        patches on absent keys drop, tombstones persist."""
+        from py_mongo_sync_spark.operators.dedup import fold_net_events
+
+        key_cols, ts_col = m["key_cols"], m["ts_col"]
+        table_cols = [f.name for f in schema.fields]
+        payload = [c for c in table_cols if c not in key_cols and c != ts_col]
+        delta_phys = T.StructType(
+            schema.fields
+            + [
+                T.StructField(_OP, T.StringType(), True),
+                T.StructField(_PATCH, T.BooleanType(), True),
+                T.StructField(_UNSET, T.ArrayType(T.StringType()), True),
+                T.StructField(_INC, T.MapType(T.StringType(), T.DoubleType()), True),
+                T.StructField(_BSEQ, T.LongType(), True),
+            ]
+        )
+        deltas = self.spark.read.schema(delta_phys).parquet(*dfiles).select(
+            *table_cols, _OP, _PATCH, _UNSET, _INC, _BSEQ
+        )
+        base_ev = base.select(
+            *table_cols,
+            F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), F.lit("d"))
+            .otherwise(F.lit("u")).alias(_OP),
+            F.lit(False).alias(_PATCH),
+            F.lit(None).cast("array<string>").alias(_UNSET),
+            F.lit(None).cast("map<string,double>").alias(_INC),
+            F.lit(-1).cast("long").alias(_BSEQ),
+        )
+        folded = fold_net_events(
+            base_ev.unionByName(deltas),
+            key_cols=key_cols, payload_cols=payload, ts_col=ts_col,
+            op_col=_OP, patch_col=_PATCH, seq_col=_BSEQ,
+            unset_col=_UNSET, inc_col=_INC,
+        )
+        # net patch = UpdateOne on an absent key → no row
+        return folded.where(~F.col("_is_patch")).select(
+            *table_cols, (F.col("_op") == "d").alias(DELETED_COL)
+        )
 
     # --------------------------------------------------------------- merge
 
@@ -284,6 +358,7 @@ class LakeTable:
         batch_id: int,
         changed_buckets: list[int] | None = None,
         nonnull_new_cols: list[str] | None = None,
+        compact_threshold: int | None = None,
     ) -> dict:
         """MERGE INTO this table. ``source`` must have exactly one row per
         key (LWW-deduped, see operators/dedup.py) with table columns plus
@@ -304,9 +379,15 @@ class LakeTable:
         if self.is_committed(batch_id, m):
             return {"skipped": True, "batch_id": batch_id, "version": m["version"]}
 
+        if m.get("write_mode", "cow") == "mor":
+            def inner(src, bid, mf, hb, hn):
+                return self._merge_mor(src, bid, mf, hb, hn, compact_threshold)
+        else:
+            inner = self._merge_inner
+
         if changed_buckets is not None:
             try:
-                return self._merge_inner(
+                return inner(
                     source, batch_id, m, changed_buckets, nonnull_new_cols or []
                 )
             except HintViolation:
@@ -322,30 +403,31 @@ class LakeTable:
 
         source = source.persist(StorageLevel.DISK_ONLY)
         try:
-            return self._merge_inner(source, batch_id, m, None, None)
+            return inner(source, batch_id, m, None, None)
         finally:
             source.unpersist()
 
-    def _merge_inner(
+    def _prep_source(
         self,
         source: DataFrame,
-        batch_id: int,
         m: dict,
         hint_buckets: list[int] | None,
         hint_nonnull: list[str] | None,
     ) -> dict:
-        t0 = time.monotonic()
+        """Shared MERGE head for both write modes: cast the source to the
+        table schema, detect schema-evolution columns, and compute the
+        changed-bucket set (from hints or a one-aggregation probe whose
+        collect is ≤ n_buckets boolean rows, never row data).
+
+        Evolution: batch columns absent from the table schema merge in as
+        nullable iff the batch actually carries values there (Iceberg
+        mergeSchema; replaces oplog 'c' handling, mongo/handler.py:156-163).
+        """
         key_cols: list[str] = m["key_cols"]
-        ts_col: str = m["ts_col"]
         n_buckets: int = m["n_buckets"]
         schema = T.StructType.fromJson(m["schema"])
         table_cols = [f.name for f in schema.fields]
 
-        # --- schema evolution candidates: batch columns absent from the
-        # table schema merge in as nullable iff the batch actually carries
-        # values there (Iceberg mergeSchema; replaces oplog 'c' handling,
-        # mongo/handler.py:156-163). The non-null probe is FUSED into the
-        # changed-buckets aggregation below — one pass over the source.
         src_schema = {f.name: f for f in source.schema.fields}
         new_cols = [
             c for c in source.columns
@@ -365,9 +447,6 @@ class LakeTable:
             *opt_meta,
         ).withColumn(BUCKET_COL, bucket_expr(key_cols, n_buckets))
 
-        # --- bucket pruning + evolution probe in ONE aggregation job
-        # (skipped entirely when the caller supplied hints). The collect is
-        # tiny (≤ n_buckets rows of booleans), never row data.
         if hint_buckets is not None:
             changed = sorted(hint_buckets)
             evolved = [c for c in new_cols if c in (hint_nonnull or [])]
@@ -398,15 +477,40 @@ class LakeTable:
             ],
             F.col(_OP), F.col(_PATCH), *opt_meta, F.col(BUCKET_COL),
         )
-        n_src = 0 if not changed else None  # empty batch fast-path
+        return {
+            "src": src, "schema": schema, "table_cols": table_cols,
+            "changed": changed, "has_unset": has_unset, "has_inc": has_inc,
+        }
+
+    def _commit_empty(self, m: dict, batch_id: int) -> dict:
+        """Empty-batch fast path: record the batch id, touch no data."""
+        new_manifest = dict(m, version=m["version"] + 1,
+                            **self._batch_fields(m, batch_id))
+        new_manifest.pop("batch_ids", None)
+        self._commit(new_manifest)
+        return {"skipped": False, "batch_id": batch_id, "n_source": 0,
+                "changed_buckets": 0, "version": new_manifest["version"]}
+
+    def _merge_inner(
+        self,
+        source: DataFrame,
+        batch_id: int,
+        m: dict,
+        hint_buckets: list[int] | None,
+        hint_nonnull: list[str] | None,
+    ) -> dict:
+        t0 = time.monotonic()
+        key_cols: list[str] = m["key_cols"]
+        ts_col: str = m["ts_col"]
+        n_buckets: int = m["n_buckets"]
+        prep = self._prep_source(source, m, hint_buckets, hint_nonnull)
+        src, schema, table_cols, changed = (
+            prep["src"], prep["schema"], prep["table_cols"], prep["changed"]
+        )
+        has_unset, has_inc = prep["has_unset"], prep["has_inc"]
         t_probe = time.monotonic() - t0
         if not changed:
-            new_manifest = dict(m, version=m["version"] + 1,
-                                **self._batch_fields(m, batch_id))
-            new_manifest.pop("batch_ids", None)
-            self._commit(new_manifest)
-            return {"skipped": False, "batch_id": batch_id, "n_source": n_src or 0,
-                    "changed_buckets": 0, "version": new_manifest["version"]}
+            return self._commit_empty(m, batch_id)
 
         tgt = self.read(buckets=changed, include_tombstones=True).withColumn(
             BUCKET_COL, bucket_expr(key_cols, n_buckets)
@@ -534,6 +638,118 @@ class LakeTable:
             "t_join_write": round(t_write, 2),
         }
 
+    def _merge_mor(
+        self,
+        source: DataFrame,
+        batch_id: int,
+        m: dict,
+        hint_buckets: list[int] | None,
+        hint_nonnull: list[str] | None,
+        compact_threshold: int | None = None,
+    ) -> dict:
+        """Merge-on-read write path: append the batch's net events as
+        per-bucket DELTA files — no base rewrite, so per-batch write I/O is
+        O(batch), not O(table) (the CoW scale-killer at streaming cadence:
+        any realistic batch touches ~every bucket and rewrites the table).
+        Reads resolve base+deltas via the engine fold (see read());
+        ``compact_threshold`` bounds read amplification by folding a
+        bucket's deltas into its base once that many accumulate."""
+        t0 = time.monotonic()
+        prep = self._prep_source(source, m, hint_buckets, hint_nonnull)
+        src, schema, table_cols, changed = (
+            prep["src"], prep["schema"], prep["table_cols"], prep["changed"]
+        )
+        if not changed:
+            return self._commit_empty(m, batch_id)
+
+        version = m["version"] + 1
+        # normalize optional meta so every delta file shares one physical
+        # schema (older files read back NULL for later-evolved columns)
+        delta = src.select(
+            *table_cols,
+            F.col(_OP),
+            F.col(_PATCH),
+            (F.col(_UNSET) if prep["has_unset"]
+             else F.lit(None).cast("array<string>")).alias(_UNSET),
+            (F.col(_INC) if prep["has_inc"]
+             else F.lit(None).cast("map<string,double>")).alias(_INC),
+            F.lit(batch_id).cast("long").alias(_BSEQ),
+            F.col(BUCKET_COL),
+        )
+        new_files = self._write_buckets(
+            delta, version, m["n_buckets"], 1, aligned=False, root="delta"
+        )
+        stray = set(new_files) - {str(b) for b in changed}
+        if stray:
+            if hint_buckets is not None:
+                raise HintViolation(
+                    f"hinted buckets {sorted(changed)} but delta write "
+                    f"touched {sorted(stray)}"
+                )
+            raise RuntimeError(
+                f"internal bucket-math mismatch: probe said {sorted(changed)}, "
+                f"delta write produced {sorted(stray)}"
+            )
+        deltas = {k: list(v) for k, v in m.get("deltas", {}).items()}
+        for b, files in new_files.items():
+            deltas.setdefault(b, [])
+            deltas[b] = deltas[b] + files
+        delta_bytes = sum(
+            os.path.getsize(f) for files in new_files.values() for f in files
+        )
+        new_manifest = dict(
+            m,
+            version=version,
+            schema=schema.jsonValue(),
+            columns=table_cols,
+            deltas=deltas,
+            **self._batch_fields(m, batch_id),
+        )
+        new_manifest.pop("batch_ids", None)
+        self._commit(new_manifest)
+        res = {
+            "skipped": False,
+            "batch_id": batch_id,
+            "changed_buckets": len(changed),
+            "version": version,
+            "delta_bytes": delta_bytes,
+            "t_write": round(time.monotonic() - t0, 2),
+        }
+        if compact_threshold:
+            due = [int(b) for b, files in deltas.items() if len(files) >= compact_threshold]
+            if due:
+                res["compacted"] = self.compact(buckets=due)
+        return res
+
+    def compact(self, buckets: list[int] | None = None) -> dict:
+        """Fold delta files into their base buckets (Iceberg
+        ``rewrite_data_files`` for MoR): rewrites ONLY the targeted buckets
+        — the CoW rewrite cost amortized over ``compact_threshold`` batches
+        instead of paid per batch. Tombstones persist through compaction."""
+        m = self.manifest()
+        dmap = m.get("deltas", {})
+        target = sorted(
+            {str(b) for b in (buckets if buckets is not None else dmap)
+             if dmap.get(str(b))},
+            key=int,
+        )
+        if not target:
+            return {"compacted_buckets": 0, "version": m["version"]}
+        resolved = self.read(
+            buckets=[int(b) for b in target], include_tombstones=True
+        ).withColumn(BUCKET_COL, bucket_expr(m["key_cols"], m["n_buckets"]))
+        version = m["version"] + 1
+        new_files = self._write_buckets(
+            resolved, version, m["n_buckets"], m.get("files_per_bucket", 1)
+        )
+        buckets_map = dict(m["buckets"])
+        for k in target:
+            buckets_map[k] = []
+        buckets_map.update(new_files)
+        deltas = {k: ([] if k in target else list(v)) for k, v in dmap.items()}
+        self._commit(dict(m, version=version, buckets=buckets_map, deltas=deltas))
+        return {"compacted_buckets": len(target), "version": version}
+
     def add_column(self, name: str, type_name: str = "string") -> bool:
         """ALTER TABLE ADD COLUMN — metadata-only schema evolution (new
         manifest version, no data rewrite; existing files read back NULL).
@@ -573,7 +789,9 @@ class LakeTable:
         buckets = self._write_buckets(kept, version, m["n_buckets"], m.get("files_per_bucket", 1))
         all_buckets = {str(b): [] for b in range(m["n_buckets"])}
         all_buckets.update(buckets)
-        self._commit(dict(m, version=version, buckets=all_buckets))
+        # the rewrite resolved any pending deltas into the new base — keeping
+        # them would re-apply residual $inc deltas on the next read
+        self._commit(dict(m, version=version, buckets=all_buckets, deltas={}))
         return {"version": version}
 
     def expire_versions(self, keep: int = 3) -> int:
@@ -584,19 +802,23 @@ class LakeTable:
         referenced: set[str] = set()
         for v in keep_versions:
             try:
-                for files in self.manifest(v)["buckets"].values():
-                    referenced.update(files)
+                mv = self.manifest(v)
             except FileNotFoundError:
                 continue
+            for files in mv["buckets"].values():
+                referenced.update(files)
+            for files in mv.get("deltas", {}).values():
+                referenced.update(files)
         removed = 0
-        data_root = os.path.join(self.path, "data")
-        if os.path.isdir(data_root):
-            for vdir in list(os.listdir(data_root)):
-                full = os.path.join(data_root, vdir)
-                for root, _dirs, files in os.walk(full):
-                    for fn in files:
-                        p = os.path.join(root, fn)
-                        if fn.endswith(".parquet") and p not in referenced:
-                            os.remove(p)
-                            removed += 1
+        for sub in ("data", "delta"):
+            data_root = os.path.join(self.path, sub)
+            if os.path.isdir(data_root):
+                for vdir in list(os.listdir(data_root)):
+                    full = os.path.join(data_root, vdir)
+                    for root, _dirs, files in os.walk(full):
+                        for fn in files:
+                            p = os.path.join(root, fn)
+                            if fn.endswith(".parquet") and p not in referenced:
+                                os.remove(p)
+                                removed += 1
         return removed

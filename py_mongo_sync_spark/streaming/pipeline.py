@@ -83,6 +83,7 @@ class CdcPipeline:
             ts_col="ts",
             n_buckets=self.cfg.n_buckets,
             files_per_bucket=self.cfg.files_per_bucket,
+            write_mode=self.cfg.write_mode,
         )
         self.stage = "POST_INITIAL_SYNC"
         return self.table
@@ -418,6 +419,7 @@ class CdcPipeline:
             source, batch_id=batch_id,
             changed_buckets=probe["buckets"],
             nonnull_new_cols=[c for c in probe["nonnull_new"] if c in cand],
+            compact_threshold=self.cfg.compact_threshold,
         )
 
         # (g) lineage/metrics — one row per bucket (the engine's partition

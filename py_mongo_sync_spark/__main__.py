@@ -1,0 +1,102 @@
+"""CLI entry point — the Spark re-expression of the reference's
+``python sync.py -f conf.toml [--start-optime N]``
+(/root/reference/sync.py:14-37, command_options.py:13-63):
+
+    python -m py_mongo_sync_spark -f conf.toml
+    python -m py_mongo_sync_spark -f conf.toml --start-optime 12345
+    python -m py_mongo_sync_spark -f conf.toml --resume
+    python -m py_mongo_sync_spark -f conf.toml --follow   # continuous tail
+
+Without flags: full sync (snapshot load if [src] snapshot_path is set and
+the destination doesn't exist, then drain the event stream availableNow).
+``--start-optime`` replays from an explicit optime (reference
+command_options.py:46-54); ``--resume`` reads the checkpoint table's high
+watermark instead (reference --optime-logfile, command_options.py:55-59);
+``--follow`` keeps tailing like the reference's infinite loop.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="py_mongo_sync_spark")
+    ap.add_argument("-f", "--config", required=True, help="TOML config file")
+    ap.add_argument("--start-optime", type=int, default=None,
+                    help="replay change events from this optime (inclusive)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the checkpoint table's high watermark")
+    ap.add_argument("--follow", action="store_true",
+                    help="keep tailing (continuous microbatches) instead of "
+                         "draining availableNow and exiting")
+    ap.add_argument("--cores", type=int, default=None,
+                    help="local[N] cores (default: all)")
+    ap.add_argument("--spark-checkpoint", default=None,
+                    help="Structured Streaming checkpointLocation "
+                         "(default: <dst.checkpoint_path>/_spark)")
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from py_mongo_sync_spark.config_file import load_config
+    from py_mongo_sync_spark.session import get_spark
+    from py_mongo_sync_spark.sources.oplog import read_oplog_stream
+    from py_mongo_sync_spark.streaming.pipeline import CdcPipeline
+
+    cfg, extras = load_config(args.config)
+    if args.start_optime is not None and args.resume:
+        print("error: --start-optime and --resume are exclusive", file=sys.stderr)
+        return 2
+
+    spark = get_spark("py_mongo_sync_spark", cores=args.cores)
+    pipe = CdcPipeline(spark, cfg, dst_ns=extras["dst_ns"])
+
+    # Phase A: initial sync (reference common_syncer.py:103-118) — only when
+    # the destination doesn't exist yet and a snapshot source is configured
+    if not pipe.table.exists():
+        if extras["snapshot_path"]:
+            snap = spark.read.parquet(extras["snapshot_path"])
+            pipe.initial_sync(snap)
+            print(json.dumps({"stage": "INITIAL_SYNC", "rows": snap.count()}))
+        else:
+            from py_mongo_sync_spark.schema import TRANSCRIPT_SCHEMA_V0
+
+            pipe.initial_sync(spark.createDataFrame([], TRANSCRIPT_SCHEMA_V0))
+            print(json.dumps({"stage": "INITIAL_SYNC", "rows": 0}))
+
+    start_optime = args.start_optime
+    if args.resume:
+        wm = pipe.cplog.high_watermark()
+        start_optime = None if wm is None else wm + 1
+        print(json.dumps({"stage": "RESUME", "start_optime": start_optime}))
+
+    if not extras["events_path"]:
+        print(json.dumps({"stage": "DONE", "note": "no [src] events_path"}))
+        return 0
+
+    stream = read_oplog_stream(
+        spark, extras["events_path"],
+        start_optime=start_optime if start_optime is not None
+        else extras.get("start_optime"),
+        fmt=extras["events_format"],
+    )
+    spark_cp = args.spark_checkpoint or (cfg.checkpoint_path + "/_spark")
+    q = pipe.run_stream(stream, spark_cp, available_now=not args.follow)
+    if args.follow:
+        q.awaitTermination()
+    for s in pipe.last_stats:
+        print(json.dumps({k: v for k, v in s.items() if not isinstance(v, dict)},
+                         default=str))
+    print(json.dumps({"stage": "OPLOG_SYNC_DONE",
+                      "batches": len(pipe.last_stats),
+                      "rows": pipe.table.read().count()}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -770,6 +770,34 @@ class LakeTable:
         ))
         return True
 
+    def drop_column(self, name: str) -> bool:
+        """ALTER TABLE DROP COLUMN — metadata-only (files keep the bytes;
+        the explicit read schema projects the column away, Iceberg-style).
+        Key/ts columns are refused. No-op if absent."""
+        m = self.manifest()
+        if name in m["key_cols"] or name == m["ts_col"]:
+            raise ValueError(f"cannot drop key/ts column {name!r}")
+        schema = T.StructType.fromJson(m["schema"])
+        if name not in [f.name for f in schema.fields]:
+            return False
+        schema = T.StructType([f for f in schema.fields if f.name != name])
+        self._commit(dict(
+            m, version=m["version"] + 1, schema=schema.jsonValue(),
+            columns=[f.name for f in schema.fields],
+        ))
+        return True
+
+    def truncate(self) -> None:
+        """Empty the table as a new version (metadata-only; old files expire
+        later) — the lake analogue of a replayed drop/emptyCollection
+        command (reference re-runs arbitrary commands, mongo/handler.py:156-163)."""
+        m = self.manifest()
+        self._commit(dict(
+            m, version=m["version"] + 1,
+            buckets={str(b): [] for b in range(m["n_buckets"])},
+            deltas={},
+        ))
+
     # -------------------------------------------------------------- utils
 
     def vacuum_tombstones(self, before_ts) -> dict:

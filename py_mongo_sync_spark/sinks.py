@@ -1,0 +1,199 @@
+"""Pluggable second sink flavor — the search-document store.
+
+The reference proves its sink is pluggable by shipping TWO syncers behind
+one dispatch (``sync.py:25-34``): MongoSyncer (authoritative replica,
+upserts by _id) and EsSyncer (search index: bulk index/update/delete
+actions, /root/reference/mongosync/es/syncer.py + es/handler.py:38-43).
+This module is the Spark analogue of the second: a **SearchDocSink** that
+maintains the CURRENT document set only —
+
+- deletes remove documents physically (a search index keeps no tombstones
+  or history; contrast plans/lake.py where deletes persist as tombstones
+  for replay safety);
+- updates are partial-document merges ($set/$unset/$inc translated exactly
+  like the ES syncer's partial-update scripts, es/syncer.py:182-216);
+- each batch applies as one atomic index swap (versioned parquet + pointer
+  rename — the refresh-visibility analogue), idempotent on batch_id.
+
+``SearchSyncPipeline`` reuses CdcPipeline's transform + per-key fold and
+routes the net events here instead of the lake MERGE — the engine-level
+proof that sources/transforms are sink-agnostic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from py_mongo_sync_spark.operators.dedup import fold_net_events
+
+
+class SearchDocSink:
+    """Current-state document store with atomic versioned swaps."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 key_cols: list[str], ts_col: str = "ts"):
+        self.spark = spark
+        self.path = path
+        self.key_cols = key_cols
+        self.ts_col = ts_col
+
+    # ---------------------------------------------------------------- io
+
+    @property
+    def _ptr(self) -> str:
+        return os.path.join(self.path, "_LATEST_INDEX")
+
+    def _meta_path(self, version: int) -> str:
+        return os.path.join(self.path, "_meta", f"v{version:08d}.json")
+
+    def exists(self) -> bool:
+        return os.path.exists(self._ptr)
+
+    def _meta(self) -> dict:
+        with open(self._ptr) as f:
+            version = int(f.read().strip())
+        with open(self._meta_path(version)) as f:
+            return json.load(f)
+
+    def is_committed(self, batch_id: int) -> bool:
+        if not self.exists():
+            return False
+        m = self._meta()
+        recent = m.get("recent_batch_ids", [])
+        return batch_id in recent or (bool(recent) and batch_id < min(recent))
+
+    def _commit(self, version: int, schema_json: dict, batch_id: int | None) -> None:
+        prev = self._meta() if self.exists() else {"recent_batch_ids": []}
+        recent = list(prev.get("recent_batch_ids", []))
+        if batch_id is not None:
+            recent = sorted(set(recent) | {batch_id})[-64:]
+        meta = {"version": version, "schema": schema_json,
+                "recent_batch_ids": recent}
+        os.makedirs(os.path.dirname(self._meta_path(version)), exist_ok=True)
+        tmp = self._meta_path(version) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path(version))
+        ptmp = self._ptr + f".tmp.{uuid.uuid4().hex}"
+        with open(ptmp, "w") as f:
+            f.write(str(version))
+        os.replace(ptmp, self._ptr)
+
+    def _data_dir(self, version: int) -> str:
+        return os.path.join(self.path, "index", f"v{version:08d}")
+
+    # -------------------------------------------------------------- write
+
+    def bulk_load(self, docs: DataFrame) -> None:
+        """Initial index build (reference: ES snapshot bulk index,
+        es/syncer.py:65-84)."""
+        version = (self._meta()["version"] + 1) if self.exists() else 1
+        docs.write.mode("overwrite").parquet(self._data_dir(version))
+        self._commit(version, docs.schema.jsonValue(), None)
+
+    def read(self) -> DataFrame:
+        from pyspark.sql import types as T
+
+        if not self.exists():
+            raise FileNotFoundError(f"no index at {self.path}")
+        m = self._meta()
+        schema = T.StructType.fromJson(m["schema"])
+        return self.spark.read.schema(schema).parquet(self._data_dir(m["version"]))
+
+    def apply_net_events(self, source: DataFrame, batch_id: int) -> dict:
+        """Apply one microbatch of per-key net events (``_op``/``_is_patch``
+        + optional ``_unset_cols``/``_inc_map``, the same contract as
+        LakeTable.merge): current docs and events feed the engine fold,
+        deletes drop out physically, and the surviving document set swaps in
+        as the next index version. ES-action mapping per
+        es/syncer.py:242-258: replace→index, patch→update, d→delete."""
+        t0 = time.monotonic()
+        if self.is_committed(batch_id):
+            return {"skipped": True, "batch_id": batch_id}
+        m = self._meta()
+        cur = self.read()
+        # schema evolution: event columns absent from the index map in
+        table_cols = cur.columns
+        new_cols = [
+            c for c in source.columns
+            if c not in table_cols and not c.startswith("_")
+        ]
+        for c in new_cols:
+            cur = cur.withColumn(c, F.lit(None).cast(dict(source.dtypes)[c]))
+        table_cols = cur.columns
+        payload = [c for c in table_cols
+                   if c not in self.key_cols and c != self.ts_col]
+
+        cur_ev = cur.select(
+            *table_cols,
+            F.lit("u").alias("_op"), F.lit(False).alias("_is_patch"),
+            F.lit(None).cast("array<string>").alias("_unset_cols"),
+            F.lit(None).cast("map<string,double>").alias("_inc_map"),
+            F.lit(-1).cast("long").alias("_bseq"),
+        )
+        src_ev = source.select(
+            *[
+                F.col(c).cast(dict(cur.dtypes)[c]) if c in source.columns
+                else F.lit(None).cast(dict(cur.dtypes)[c]).alias(c)
+                for c in table_cols
+            ],
+            F.col("_op"), F.col("_is_patch"),
+            (F.col("_unset_cols") if "_unset_cols" in source.columns
+             else F.lit(None).cast("array<string>")).alias("_unset_cols"),
+            (F.col("_inc_map") if "_inc_map" in source.columns
+             else F.lit(None).cast("map<string,double>")).alias("_inc_map"),
+            F.lit(batch_id).cast("long").alias("_bseq"),
+        )
+        folded = fold_net_events(
+            cur_ev.unionByName(src_ev),
+            key_cols=self.key_cols, payload_cols=payload, ts_col=self.ts_col,
+            op_col="_op", patch_col="_is_patch", seq_col="_bseq",
+            unset_col="_unset_cols", inc_col="_inc_map",
+        )
+        docs = folded.where(
+            (F.col("_op") != "d") & ~F.col("_is_patch")
+        ).select(*table_cols)
+        version = m["version"] + 1
+        docs.write.mode("overwrite").parquet(self._data_dir(version))
+        self._commit(version, docs.schema.jsonValue(), batch_id)
+        return {
+            "skipped": False, "batch_id": batch_id, "version": version,
+            "wall_ms": int((time.monotonic() - t0) * 1000),
+        }
+
+
+class SearchSyncPipeline:
+    """CdcPipeline with the search-document sink in place of the lake — the
+    dispatch analogue of ``sync.py:25-34`` picking EsSyncer over
+    MongoSyncer. Transform + fold are literally CdcPipeline's."""
+
+    def __init__(self, spark: SparkSession, cfg, dst_ns: str = "chat.transcripts"):
+        from py_mongo_sync_spark.schema import KEY_COLS
+        from py_mongo_sync_spark.streaming.pipeline import CdcPipeline
+
+        self._helper = CdcPipeline(spark, cfg, dst_ns=dst_ns)
+        self.sink = SearchDocSink(spark, cfg.dst_path, KEY_COLS)
+        self.cfg = cfg
+
+    def initial_sync(self, snapshot: DataFrame) -> None:
+        self.sink.bulk_load(snapshot)
+
+    def apply_batch(self, events: DataFrame, batch_id: int) -> dict:
+        from py_mongo_sync_spark.schema import FIXTURE_EPOCH
+
+        if self.sink.is_committed(batch_id):
+            return {"skipped": True, "batch_id": batch_id}
+        parsed = self._helper.transform(events)
+        folded = self._helper._fold(parsed)
+        source = folded.withColumn(
+            "ts", F.timestamp_seconds(F.lit(FIXTURE_EPOCH) + F.col("ts"))
+        )
+        return self.sink.apply_net_events(source, batch_id)
+
+    def read(self) -> DataFrame:
+        return self.sink.read()

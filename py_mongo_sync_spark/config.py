@@ -56,6 +56,10 @@ class SyncConfig:
     #: a bucket once ``compact_threshold`` deltas accumulate.
     write_mode: str = "cow"
     compact_threshold: int = 16
+    #: two-phase salted fold for single-key event floods: >0 splits each
+    #: key's events into this many time-contiguous slices before the per-key
+    #: fold (operators/dedup.py::fold_net_events_salted). 0 = single-phase.
+    fold_salt: int = 0
     #: 'pandas' = Arrow-vectorized UDF (handles BSON extended JSON);
     #: 'jvm' = from_json fast path (plain JSON only, whole-stage codegen)
     parse_mode: str = "pandas"

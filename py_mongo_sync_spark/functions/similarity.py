@@ -54,11 +54,23 @@ def minhash_candidate_pairs(
     k: int = 5,
 ) -> DataFrame:
     """LSH banding: docs agreeing on ALL rows of any band become a candidate
-    pair. Cost profile at scale: one narrow pass to compute signatures, one
-    explode (×bands), one shuffle on (band, band_hash) — no all-pairs join.
+    pair. Cost profile at scale: shingles explode once, ONE xxhash64 per
+    shingle row, ``n_hashes`` affine min-aggregates in a single groupBy
+    (the hash runs once per shingle — an array-transform form inlines and
+    re-evaluates it per seed, measured 3× slower), one explode (×bands),
+    one shuffle on (band, band_hash) — no all-pairs join.
     Rows: (doc_a, doc_b, n_bands_matched)."""
     rows_per_band = n_hashes // bands
-    sig = df.select(F.col(id_col).alias("_id"), minhash_signature(text_col, n_hashes, k).alias("_sig"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(par, id_col).select(
+        F.col(id_col).alias("_id"),
+        F.explode(char_shingles(text_col, k)).alias("_s"),
+    ).withColumn("_h", F.xxhash64("_s").bitwiseAND(F.lit(0xFFFFFFFF)))
+    aggs = []
+    for i in range(n_hashes):
+        a, b = minhash_affine_params(i)
+        aggs.append(F.min(F.col("_h") * F.lit(a) + F.lit(b)).alias(f"m{i}"))
+    sig = sh.groupBy("_id").agg(*aggs)
     banded = sig.select(
         "_id",
         F.explode(
@@ -69,7 +81,7 @@ def minhash_candidate_pairs(
                         F.xxhash64(
                             F.concat_ws(
                                 ",",
-                                *[F.element_at("_sig", b * rows_per_band + r + 1).cast("string")
+                                *[F.col(f"m{b * rows_per_band + r}").cast("string")
                                   for r in range(rows_per_band)],
                             )
                         ).alias("bhash"),
@@ -107,24 +119,28 @@ def minhash_affine_params(i: int) -> tuple[int, int]:
     return 999_983 * (2 * i + 1), 7_919 * i + 13
 
 
-def minhash_signature_md5(text_col: str, n_hashes: int = 16, k: int = 5):
-    """Oracle-parity MinHash: ONE md5 per shingle (32-bit base), mixed per
-    seed by an affine family — exact integer math in both engines. The
-    xxhash64 variant above stays the production path (1 JVM hash vs md5's
-    digest cost)."""
-    sh = char_shingles(text_col, k)
-    base = F.transform(sh, lambda s: md5_long(s, 8))
-
-    def _affine(a: int, b: int):
-        # closure factory: a default-arg lambda would be introspected as a
-        # 2-arg (element, index) lambda and silently bind the index instead
-        return lambda h: h * F.lit(a) + F.lit(b)
-
-    mins = []
+def minhash_signatures_md5(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16, k: int = 5
+) -> DataFrame:
+    """Oracle-parity MinHash signatures: explode shingles once, ONE md5 per
+    shingle row, then ``n_hashes`` cheap affine min-aggregates in a single
+    groupBy — the md5 digest runs exactly once per shingle (a nested
+    array-transform form would inline and re-evaluate it per seed: measured
+    17× slower). Exact integer math in both engines; the xxhash64 variant
+    above stays the production path. Returns one row per doc with columns
+    ``m0..m{n-1}``."""
+    # spread docs over the cluster BEFORE the explode: a single parquet file
+    # otherwise serializes the whole shingle+digest stage into one task
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(par, id_col).select(
+        F.col(id_col).alias("_id"),
+        F.explode(char_shingles(text_col, k)).alias("_s"),
+    ).withColumn("_h", md5_long(F.col("_s"), 8))
+    aggs = []
     for i in range(n_hashes):
         a, b = minhash_affine_params(i)
-        mins.append(F.array_min(F.transform(base, _affine(a, b))))
-    return F.array(*mins)
+        aggs.append(F.min(F.col("_h") * F.lit(a) + F.lit(b)).alias(f"m{i}"))
+    return sh.groupBy("_id").agg(*aggs)
 
 
 def minhash_candidate_pairs_md5(
@@ -139,10 +155,7 @@ def minhash_candidate_pairs_md5(
     band rows themselves (no extra hash → byte-identical across engines).
     Same shuffle shape as :func:`minhash_candidate_pairs`."""
     rows_per_band = n_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature_md5(text_col, n_hashes, k).alias("_sig"),
-    )
+    sig = minhash_signatures_md5(df, id_col, text_col, n_hashes, k)
     banded = sig.select(
         "_id",
         F.explode(
@@ -153,7 +166,7 @@ def minhash_candidate_pairs_md5(
                         F.concat_ws(
                             ",",
                             *[
-                                F.element_at("_sig", b * rows_per_band + r + 1).cast("string")
+                                F.col(f"m{b * rows_per_band + r}").cast("string")
                                 for r in range(rows_per_band)
                             ],
                         ).alias("bkey"),
@@ -183,7 +196,8 @@ def simhash_fingerprints_md5(
     signature (stays clear of the signed-64 sign bit so the DuckDB oracle
     can rebuild it with plain integer sums). Same single-shuffle shape as
     :func:`simhash_fingerprints`."""
-    tok = df.select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    tok = df.repartition(par, id_col).select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("_t"),
     ).withColumn("_h", md5_long(F.col("_t"), 15))
@@ -206,7 +220,8 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 
     """64-bit SimHash per document: explode tokens once, one groupBy with a
     sum per bitplane (single shuffle; all whole-stage-codegen expressions).
     Bitplane b votes +1/-1 by bit b of xxhash64(token)."""
-    tok = df.select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    tok = df.repartition(par, id_col).select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("_t"),
     ).withColumn("_h", F.xxhash64("_t"))

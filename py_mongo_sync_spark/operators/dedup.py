@@ -250,6 +250,57 @@ def fold_net_events(
     return out
 
 
+def fold_net_events_salted(
+    df: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    ts_lo: int,
+    ts_hi: int,
+    n_salt: int = 8,
+    ts_col: str = "ts",
+    op_col: str = "op",
+    patch_col: str = "is_patch",
+    seq_col: str | None = None,
+    unset_col: str | None = None,
+    inc_col: str | None = None,
+) -> DataFrame:
+    """Two-phase fold for single-key floods (H2 skew): a key with millions
+    of events in one microbatch serializes the window fold into one task.
+    Phase 1 folds within TIME-CONTIGUOUS salt slices
+    (``salt = (ts - lo) * n_salt / span``), phase 2 folds the per-slice net
+    events. Correct because the fold composes exactly over contiguous time
+    ranges — each net event's ts lies inside its slice, so phase 2's
+    (ts, seq) order equals slice order (the same argument that makes
+    merge-on-read delta batches compose; an ARBITRARY split would be wrong:
+    a stale ``$set`` netted under a newer slice ts could shadow an
+    interleaved ``$unset``).
+
+    ``ts_lo``/``ts_hi`` are the batch's envelope-ts bounds (the pipeline
+    probe already collects them — no extra scan). Output contract identical
+    to :func:`fold_net_events`.
+    """
+    span = max(1, ts_hi - ts_lo + 1)
+    salt = F.least(
+        F.lit(n_salt - 1),
+        (((F.col(ts_col) - F.lit(ts_lo)) * n_salt) / F.lit(span)).cast("int"),
+    ).alias("_salt")
+    phase1 = fold_net_events(
+        df.select("*", salt),
+        key_cols=key_cols + ["_salt"],
+        payload_cols=payload_cols,
+        ts_col=ts_col, op_col=op_col, patch_col=patch_col,
+        seq_col=seq_col, unset_col=unset_col, inc_col=inc_col,
+    )
+    return fold_net_events(
+        phase1,
+        key_cols=key_cols,
+        payload_cols=payload_cols,
+        ts_col=ts_col, op_col="_op", patch_col="_is_patch",
+        seq_col="_salt",  # slice index: deterministic equal-ts tiebreak
+        unset_col="_unset_cols", inc_col="_inc_map",
+    ).drop("_salt")
+
+
 def fold_net_events_agg(
     df: DataFrame,
     key_cols: list[str],

@@ -44,9 +44,12 @@ def gen_transcripts_snapshot(
     turns_per_conv: int,
     seed: int = 42,
     with_tool: bool = False,
+    with_score: bool = False,
 ) -> DataFrame:
     """The source-of-record table (FIXTURES.md §1). ``(conv_id, turn_idx)``
-    is the key; ``ts`` is monotone over the global sequence."""
+    is the key; ``ts`` is monotone over the global sequence. ``with_tool``/
+    ``with_score`` pre-evolve the open-ended columns (a snapshot taken after
+    those columns already existed upstream)."""
     n = n_convs * turns_per_conv
     df = spark.range(n)  # id = global_seq
     conv_n = (F.col("id") / turns_per_conv).cast("long")
@@ -67,6 +70,7 @@ def gen_transcripts_snapshot(
         role.alias("role"),
         text.alias("text"),
         *( [F.when(role == "tool", F.lit("calculator")).alias("tool")] if with_tool else [] ),
+        *( [(F.pmod(_h(F.col("id"), F.lit("sc"), F.lit(seed)), F.lit(100)) / 10.0).alias("score")] if with_score else [] ),
         F.timestamp_seconds(F.lit(FIXTURE_EPOCH) + F.col("id")).alias("ts"),
     )
     return out

@@ -372,9 +372,28 @@ class CdcPipeline:
         t_pstats = time.monotonic() - t0
 
         # (d) transform, (e) fold to one net event per key — lazily; this
-        # lineage executes exactly once, inside the MERGE join job
+        # lineage executes exactly once, inside the MERGE join job. With
+        # fold_salt the fold runs in two time-sliced phases so one flooded
+        # key can't serialize a whole task (H2 skew bound).
         parsed = self.transform(events)
-        folded = self._fold(parsed)
+        ts_vals = [s["max_ts"] for s in probe["bucket_stats"]] + [
+            s["min_ts"] for s in probe["bucket_stats"]
+        ]
+        ts_vals = [t for t in ts_vals if t is not None]
+        if self.cfg.fold_salt and ts_vals:
+            from py_mongo_sync_spark.operators.dedup import fold_net_events_salted
+
+            payload = [c for c in PAYLOAD_COLS if c in parsed.columns]
+            folded = fold_net_events_salted(
+                parsed, key_cols=KEY_COLS, payload_cols=payload,
+                ts_lo=min(ts_vals), ts_hi=max(ts_vals),
+                n_salt=self.cfg.fold_salt,
+                ts_col="ts", op_col="op", patch_col="is_patch",
+                seq_col="seq" if "seq" in parsed.columns else None,
+                unset_col="unset_cols", inc_col="inc_map",
+            )
+        else:
+            folded = self._fold(parsed)
         return self._finish_batch(folded, probe, batch_id, t0,
                                   n_events=n_events, t_pstats=t_pstats)
 

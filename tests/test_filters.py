@@ -82,3 +82,25 @@ def test_ns_split_first_dot(spark):
     df = spark.createDataFrame([("db.with.dots",)], "ns string")
     r = df.select(ns_db(F.col("ns")).alias("d"), ns_coll(F.col("ns")).alias("c")).first()
     assert (r["d"], r["c"]) == ("db", "with.dots")
+
+
+def test_flat_nested_roundtrip(spark):
+    """P7 general reshaping: dotted flat columns ⇄ arbitrarily deep structs
+    (doc_utils.py:4-34 full analogue, not just single-level extraction)."""
+    from py_mongo_sync_spark.functions.project import flat_to_nested, nested_to_flat
+
+    df = spark.createDataFrame(
+        [(1, "u1", "click", 3.5, "x")],
+        ["id", "`user.id`", "`user.meta.kind`", "`user.meta.weight`", "other"],
+    ).toDF("id", "user.id", "user.meta.kind", "user.meta.weight", "other")
+    nested = flat_to_nested(df, ["user.id", "user.meta.kind", "user.meta.weight"])
+    assert set(nested.columns) == {"id", "other", "user"}
+    row = nested.first()
+    assert row["user"]["id"] == "u1"
+    assert row["user"]["meta"]["kind"] == "click"
+    assert row["user"]["meta"]["weight"] == 3.5
+
+    flat = nested_to_flat(nested)
+    assert set(flat.columns) == {"id", "other", "user.id", "user.meta.kind", "user.meta.weight"}
+    back = flat.first()
+    assert back["user.meta.kind"] == "click" and back["user.id"] == "u1"

@@ -64,15 +64,20 @@ def event_sequences(draw):
     return events, sorted(cuts)
 
 
+import pytest
+
+
+@pytest.mark.parametrize("write_mode", ["cow", "mor"])
 @settings(
     max_examples=6, deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 @given(event_sequences())
-def test_any_sequence_any_batching_matches_oracle(spark, tmp_path_factory, seq):
+def test_any_sequence_any_batching_matches_oracle(spark, tmp_path_factory, write_mode, seq):
     events, cuts = seq
     tmp = tmp_path_factory.mktemp("prop")
-    cfg = SyncConfig(dst_path=str(tmp / "lake"), checkpoint_path=str(tmp / "cp"), n_buckets=2)
+    cfg = SyncConfig(dst_path=str(tmp / "lake"), checkpoint_path=str(tmp / "cp"),
+                     n_buckets=2, write_mode=write_mode, compact_threshold=2)
     snap_pdf = pd.DataFrame(
         [{"conv_id": "c0", "turn_idx": 0, "role": "user", "text": "seed",
           "ts": pd.Timestamp(1_700_000_000, unit="s")}]

@@ -373,6 +373,67 @@ def test_merge_idempotence_survives_window(spark, tmp_path):
     assert got[("c0", 0)] == "t2"
 
 
+def test_salted_fold_equals_plain_fold_on_hot_key(spark):
+    """fold_net_events_salted (time-contiguous two-phase) must equal the
+    single-phase fold exactly — including interleaved $set/$unset/$inc on
+    one flooded key (an ARBITRARY split would reorder patch composition)."""
+    import random
+
+    from py_mongo_sync_spark.operators.dedup import fold_net_events_salted
+
+    rng = random.Random(13)
+    rows = []
+    for ts in range(1000, 1400):  # one hot key, 400 events
+        kind = rng.choice(["i", "set", "unset", "inc", "d"])
+        if kind == "i":
+            rows.append(_ev("hot", 0, ts, "i", text=f"t{ts}", role="user", score=1.0))
+        elif kind == "set":
+            rows.append(_ev("hot", 0, ts, "u", is_patch=True, text=f"p{ts}"))
+        elif kind == "unset":
+            rows.append(_ev("hot", 0, ts, "u", is_patch=True, unset=["role"]))
+        elif kind == "inc":
+            rows.append(_ev("hot", 0, ts, "u", is_patch=True,
+                            inc={"score": float(rng.randint(-3, 3))}))
+        else:
+            rows.append(_ev("hot", 0, ts, "d"))
+    # plus a few cold keys
+    for ts in range(1400, 1420):
+        rows.append(_ev(f"c{ts % 5}", ts % 3, ts, "i", text=f"x{ts}", role="user"))
+
+    df = spark.createDataFrame(rows, SCHEMA)
+    kw = dict(key_cols=["conv_id", "turn_idx"], payload_cols=["text", "role", "score"],
+              ts_col="ts", seq_col="seq", unset_col="unset_cols", inc_col="inc_map")
+    plain = {(r["conv_id"], r["turn_idx"]): r.asDict()
+             for r in fold_net_events(df, **kw).collect()}
+    salted = {(r["conv_id"], r["turn_idx"]): r.asDict()
+              for r in fold_net_events_salted(df, ts_lo=1000, ts_hi=1419, n_salt=8, **kw).collect()}
+    assert plain == salted and len(plain) > 5
+
+
+def test_pipeline_fold_salt_matches_oracle(spark, tmp_path):
+    from py_mongo_sync_spark.sources.generate import (
+        gen_oplog_events,
+        gen_transcripts_snapshot,
+        oracle_replay,
+    )
+
+    cfg = SyncConfig(dst_path=str(tmp_path / "lake"),
+                     checkpoint_path=str(tmp_path / "cp"),
+                     n_buckets=4, fold_salt=8)
+    pipe = CdcPipeline(spark, cfg)
+    snap = gen_transcripts_snapshot(spark, 10, 3)
+    ev = gen_oplog_events(spark, 10, 3, 300, hot_frac=0.5)  # heavy single-conv skew
+    pipe.initial_sync(snap)
+    pipe.apply_batch(ev, 0)
+    expected = oracle_replay(snap.toPandas(), ev.toPandas())
+    expected = expected.where(pd.notnull(expected), None)
+    got = pipe.table.read().toPandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    cols = [c for c in expected.columns if c in got.columns]
+    pd.testing.assert_frame_equal(got[cols], expected[cols].reset_index(drop=True),
+                                  check_dtype=False)
+
+
 def test_replayed_batch_appends_no_lineage(spark, tmp_path):
     pipe = _mk_pipe(spark, tmp_path)
     ev = _events_df(spark, [

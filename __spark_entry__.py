@@ -774,7 +774,10 @@ def _hash_parity_oracles() -> dict[str, str]:
     """Generated SQL for the md5-hash-parity queries (48 simhash bitplanes /
     16 minhash seeds / 6 hyperplanes are built programmatically — the Spark
     queries use the identical constants from functions/similarity.py)."""
-    from py_mongo_sync_spark.functions.similarity import minhash_affine_params
+    from py_mongo_sync_spark.functions.similarity import (
+        MINHASH_PRIME,
+        minhash_affine_params,
+    )
 
     # --- simhash48: per-bitplane votes, then integer rebuild
     bits = 48
@@ -805,7 +808,7 @@ def _hash_parity_oracles() -> dict[str, str]:
     # --- minhash (16 seeds, 8 bands x 2 rows, 5-char shingles)
     n_hashes, bands = 16, 8
     mins = ",\n                   ".join(
-        "min(h * {a} + {b}) AS m{i}".format(a=a, b=b, i=i)
+        "min((h * {a} + {b}) % {p}) AS m{i}".format(a=a, b=b, p=MINHASH_PRIME, i=i)
         for i, (a, b) in ((i, minhash_affine_params(i)) for i in range(n_hashes))
     )
     band_rows = "\n            UNION ALL ".join(

@@ -55,7 +55,7 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """LSH banding: docs agreeing on ALL rows of any band become a candidate
     pair. Cost profile at scale: shingles explode once, ONE xxhash64 per
-    shingle row, ``n_hashes`` affine min-aggregates in a single groupBy
+    shingle row, ``n_hashes`` affine-mod min-aggregates in a single groupBy
     (the hash runs once per shingle — an array-transform form inlines and
     re-evaluates it per seed, measured 3× slower), one explode (×bands),
     one shuffle on (band, band_hash) — no all-pairs join.
@@ -69,7 +69,7 @@ def minhash_candidate_pairs(
     aggs = []
     for i in range(n_hashes):
         a, b = minhash_affine_params(i)
-        aggs.append(F.min(F.col("_h") * F.lit(a) + F.lit(b)).alias(f"m{i}"))
+        aggs.append(F.min(_affine_mod(F.col("_h"), a, b)).alias(f"m{i}"))
     sig = sh.groupBy("_id").agg(*aggs)
     banded = sig.select(
         "_id",
@@ -112,11 +112,26 @@ def md5_long(col, hexchars: int = 15):
     return F.conv(F.substring(F.md5(col), 1, hexchars), 16, 10).cast("long")
 
 
+#: Mersenne prime 2^31 - 1 — modulus of the universal hash family
+#: ((a*h + b) mod P). Inlined verbatim into the DuckDB oracle SQL.
+MINHASH_PRIME = 2_147_483_647
+
+
 def minhash_affine_params(i: int) -> tuple[int, int]:
-    """Seed-i affine mixer (a*h + b) over the 32-bit md5 base hash:
-    odd multiplier < 2^25 keeps products < 2^57 (no signed-64 overflow) —
-    the same constants are inlined into the DuckDB oracle SQL."""
+    """Seed-i universal-hash params for ((a*h + b) mod MINHASH_PRIME) over
+    the 32-bit base hash: odd multiplier < 2^26 keeps products < 2^58 (no
+    signed-64 overflow). The modular reduction is essential — WITHOUT it,
+    min(a*h + b) = a*min(h) + b for a > 0, so every signature component is
+    a monotone function of the single value min(h), all bands match or
+    none, and band/row tuning is a no-op (round-2 ADVICE high finding).
+    The same constants are inlined into the DuckDB oracle SQL."""
     return 999_983 * (2 * i + 1), 7_919 * i + 13
+
+
+def _affine_mod(h, a: int, b: int):
+    """((a*h + b) mod P) as a JVM column expression; h, a, b ≥ 0 so pmod
+    and DuckDB's ``%`` agree exactly."""
+    return F.pmod(h * F.lit(a) + F.lit(b), F.lit(MINHASH_PRIME))
 
 
 def minhash_signatures_md5(
@@ -139,7 +154,7 @@ def minhash_signatures_md5(
     aggs = []
     for i in range(n_hashes):
         a, b = minhash_affine_params(i)
-        aggs.append(F.min(F.col("_h") * F.lit(a) + F.lit(b)).alias(f"m{i}"))
+        aggs.append(F.min(_affine_mod(F.col("_h"), a, b)).alias(f"m{i}"))
     return sh.groupBy("_id").agg(*aggs)
 
 

@@ -53,6 +53,33 @@ def test_minhash_identical_docs_share_all_bands(spark, docs):
     assert (0, 3) not in pairs and (1, 3) not in pairs
 
 
+def test_minhash_bands_can_partially_match(spark, docs):
+    """r2 ADVICE high regression: without modular reduction per seed,
+    min(a*h+b) = a*min(h)+b, so every signature component is a monotone
+    function of min(h) and n_bands_matched is only ever 0 or `bands`.
+    A true MinHash family must let a near-dup match a STRICT subset of
+    bands. docs 0 and 2 share 39/45 of their 5-shingles (Jaccard ≈ 0.83);
+    with 8 bands × 4 rows the expected matched-band count is
+    8 * 0.83^4 ≈ 3.8 — a partial match, not all-or-nothing."""
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_bands_matched"]
+        for r in minhash_candidate_pairs(docs, "doc_id", "text", n_hashes=32, bands=8).collect()
+    }
+    assert pairs[(0, 1)] == 8                      # identical → still all bands
+    assert 1 <= pairs[(0, 2)] < 8                  # near dup → strict subset
+
+    # and per-seed minima must genuinely differ in ORDER across docs
+    # (degenerate signatures are rank-identical across all seeds)
+    from py_mongo_sync_spark.functions.similarity import minhash_signatures_md5
+
+    sig = minhash_signatures_md5(docs, "doc_id", "text", n_hashes=16).collect()
+    by_id = {r["_id"]: [r[f"m{i}"] for i in range(16)] for r in sig}
+    orders = {
+        tuple(sorted(range(5), key=lambda d: by_id[d][i])) for i in range(16)
+    }
+    assert len(orders) > 1, "all seeds rank docs identically — degenerate family"
+
+
 def test_minhash_signature_deterministic(spark, docs):
     a = docs.select(minhash_signature("text").alias("s")).collect()
     b = docs.select(minhash_signature("text").alias("s")).collect()

@@ -1,7 +1,8 @@
 """Local stand-in for the driver's correctness check: run each
 __spark_entry__ query on Spark AND its oracle SQL on DuckDB at sf0.01,
 compare row count, sorted-column-name schema, and an order-insensitive
-value hash. Usage: PYTHONPATH=/root/repo python tools/validate_entry.py [sf_dir]"""
+value hash. Usage:
+PYTHONPATH=/root/repo python tools/validate_entry.py [sf_dir] [only_query ...]"""
 
 from __future__ import annotations
 
@@ -18,6 +19,7 @@ import __spark_entry__ as entrymod
 from py_mongo_sync_spark.session import get_spark
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -51,6 +53,8 @@ def main():
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
         try:
             sdf = fn(spark, SF_DIR).toPandas()
         except Exception as e:

@@ -52,6 +52,7 @@ import json
 import os
 import time
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
@@ -98,6 +99,14 @@ class LakeTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        #: Stream-instance (checkpoint) identity for batch-id idempotence.
+        #: Spark batch ids restart at 0 whenever the streaming checkpoint is
+        #: new; without an epoch the below-window replay rule would silently
+        #: skip every early batch of a NEW stream against an EXISTING table
+        #: (r2 ADVICE: real data loss, reproduced end-to-end). Pipelines set
+        #: this from the checkpoint dir before streaming; None (direct batch
+        #: callers, tests) keeps plain window semantics.
+        self.epoch: str | None = None
 
     # ------------------------------------------------------------------ io
 
@@ -145,17 +154,50 @@ class LakeTable:
         return (max(ids) if ids else None), sorted(ids)[-LakeTable._BATCH_WINDOW:]
 
     def is_committed(self, batch_id: int, m: dict | None = None) -> bool:
-        mx, recent = self._committed_state(m or self.manifest())
+        m = m or self.manifest()
+        if (
+            self.epoch is not None
+            and m.get("epoch") is not None
+            and m["epoch"] != self.epoch
+        ):
+            # different stream instance: its batch ids restarted at 0, so
+            # the previous epoch's window says nothing about this batch
+            return False
+        mx, recent = self._committed_state(m)
         if batch_id in recent:
             return True
-        return bool(recent) and batch_id < min(recent)
+        below = bool(recent) and batch_id < min(recent)
+        if below and self.epoch is None and batch_id < min(recent) - self._BATCH_WINDOW:
+            # epoch-less caller replaying an id far below the window: almost
+            # certainly a relocated/reset checkpoint, not a true replay
+            warnings.warn(
+                f"LakeTable {self.path}: treating batch_id={batch_id} as a "
+                f"replay (window min {min(recent)}). If the streaming "
+                "checkpoint was reset, this SKIPS NEW DATA — set "
+                "LakeTable.epoch (CdcPipeline.run_stream does) to detect "
+                "stream restarts.",
+                stacklevel=3,
+            )
+        return below
 
     def _batch_fields(self, m: dict, batch_id: int) -> dict:
         """Manifest fields recording ``batch_id`` as committed."""
+        if self.epoch is not None and m.get("epoch") != self.epoch:
+            # first commit of a new stream instance: reset the window — the
+            # old epoch's ids belong to a different batch-id sequence
+            return {
+                "epoch": self.epoch,
+                "max_batch_id": batch_id,
+                "recent_batch_ids": [batch_id],
+            }
         mx, recent = self._committed_state(m)
         recent = sorted(set(recent) | {batch_id})[-self._BATCH_WINDOW:]
         new_max = batch_id if mx is None else max(mx, batch_id)
-        return {"max_batch_id": new_max, "recent_batch_ids": recent}
+        return {
+            "epoch": self.epoch if self.epoch is not None else m.get("epoch"),
+            "max_batch_id": new_max,
+            "recent_batch_ids": recent,
+        }
 
     def committed_batch_ids(self) -> set[int]:
         """Recently committed ids (exact within the retention window)."""

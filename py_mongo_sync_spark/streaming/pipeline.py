@@ -42,6 +42,30 @@ from py_mongo_sync_spark.plans.lake import LakeTable
 from py_mongo_sync_spark.schema import FIXTURE_EPOCH, KEY_COLS
 
 STAGES = ("STOPPED", "INITIAL_SYNC", "POST_INITIAL_SYNC", "OPLOG_SYNC")
+
+
+def checkpoint_epoch(spark_checkpoint_dir: str) -> str:
+    """Stable identity for one streaming-checkpoint instance. Spark batch
+    ids restart at 0 with every NEW checkpoint dir; the lake's batch-id
+    replay window is only meaningful within one id sequence, so the epoch
+    (a uuid created alongside the checkpoint, reread on every restart from
+    it) scopes the window. Same checkpoint → same epoch → replay protection
+    across restarts; fresh checkpoint → new epoch → early batch ids are NOT
+    mistaken for replays (r2 ADVICE data-loss fix)."""
+    import os
+    import uuid
+
+    os.makedirs(spark_checkpoint_dir, exist_ok=True)
+    marker = os.path.join(spark_checkpoint_dir, "_PMS_EPOCH")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return f.read().strip()
+    tmp = marker + f".tmp.{uuid.uuid4().hex}"
+    epoch = uuid.uuid4().hex
+    with open(tmp, "w") as f:
+        f.write(epoch)
+    os.replace(tmp, marker)
+    return epoch
 PAYLOAD_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "score"]
 
 #: Mongo update operators the engine cannot express on a lake table; events
@@ -518,6 +542,7 @@ class CdcPipeline:
         everything and stops (test/bench mode); otherwise it runs continuous
         microbatches like the reference's infinite tail loop
         (mongo/syncer.py:239-366)."""
+        self.table.epoch = checkpoint_epoch(spark_checkpoint_dir)
         writer = (
             events_stream.writeStream.foreachBatch(
                 lambda df, bid: self.apply_batch(df, bid)
@@ -639,6 +664,9 @@ class MultiCdcPipeline:
 
     def run_stream(self, events_stream: DataFrame, spark_checkpoint_dir: str,
                    available_now: bool = True):
+        epoch = checkpoint_epoch(spark_checkpoint_dir)
+        for p in self.pipes.values():
+            p.table.epoch = epoch
         writer = (
             events_stream.writeStream.foreachBatch(
                 lambda df, bid: self.apply_batch(df, bid)

@@ -169,3 +169,43 @@ def test_pipeline_expires_old_versions(spark, tmp_path):
     stats = [pipe.apply_batch(ev.where(f"ts % 4 = {i}"), i) for i in range(4)]
     assert any(s.get("expired_files", 0) > 0 for s in stats)
     assert pipe.table.read().count() > 0  # latest version intact
+
+
+def test_epoch_guard_prevents_fresh_checkpoint_skip(spark, tmp_path):
+    """r2 ADVICE data-loss fix: batch ids restart at 0 under a NEW streaming
+    checkpoint; without an epoch the below-window rule silently skips every
+    early batch of the new stream (reproduced end-to-end in the verify
+    drive). With epochs: a different epoch is never 'committed', the first
+    commit resets the window, and same-epoch replay protection survives."""
+    t = _mk(spark, tmp_path, [("a", 0, "x", TS[0])])
+    t.epoch = "stream-A"
+    for b in range(3):
+        t.merge(_src(spark, [("a", 0, f"v{b}", TS[b + 1], "u", False)]), batch_id=b)
+    assert t.is_committed(1) and t.is_committed(0)
+
+    # same table, NEW stream instance: ids restart at 0 — must NOT skip
+    t2 = LakeTable(spark, t.path)
+    t2.epoch = "stream-B"
+    assert not t2.is_committed(0)
+    res = t2.merge(_src(spark, [("a", 0, "fresh", TS[5], "u", False)]), batch_id=0)
+    assert not res["skipped"]
+    assert t2.read().first()["text"] == "fresh"
+
+    # window was reset to the new epoch: old epoch's ids gone, new id held
+    assert t2.is_committed(0)
+    assert not t2.is_committed(1)
+
+    # restart of the SAME instance (same epoch) keeps replay protection
+    t3 = LakeTable(spark, t.path)
+    t3.epoch = "stream-B"
+    assert t3.is_committed(0)
+    assert t3.merge(_src(spark, [("a", 0, "dup", TS[6], "u", False)]),
+                    batch_id=0)["skipped"]
+
+
+def test_epoch_is_stable_per_checkpoint_dir(tmp_path):
+    from py_mongo_sync_spark.streaming.pipeline import checkpoint_epoch
+
+    d1, d2 = str(tmp_path / "cp1"), str(tmp_path / "cp2")
+    assert checkpoint_epoch(d1) == checkpoint_epoch(d1)
+    assert checkpoint_epoch(d1) != checkpoint_epoch(d2)

@@ -280,9 +280,16 @@ def fold_net_events_salted(
     to :func:`fold_net_events`.
     """
     span = max(1, ts_hi - ts_lo + 1)
-    salt = F.least(
-        F.lit(n_salt - 1),
-        (((F.col(ts_col) - F.lit(ts_lo)) * n_salt) / F.lit(span)).cast("int"),
+    # clamp BOTH ends into [0, n_salt): an event ts outside the caller's
+    # [ts_lo, ts_hi] (e.g. bounds from a stats probe that filtered
+    # differently) would otherwise land in a slice outside the contiguous
+    # range, and phase 2's slice-order-equals-time-order tiebreak breaks
+    salt = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n_salt - 1),
+            (((F.col(ts_col) - F.lit(ts_lo)) * n_salt) / F.lit(span)).cast("int"),
+        ),
     ).alias("_salt")
     phase1 = fold_net_events(
         df.select("*", salt),

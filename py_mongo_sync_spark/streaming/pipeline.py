@@ -389,10 +389,21 @@ class CdcPipeline:
                 "commands": commands,
                 "n_events": n_events,
                 # the big-batch path never scans the doc column, so the
-                # unsupported-operator count is unmeasured (None, not 0)
+                # unsupported-operator count is unmeasured (None, not 0) —
+                # EXCEPT under strict_ops, where unmeasured = unenforced
+                # (r2 ADVICE: a 4M-event batch carrying $push would apply
+                # partially despite strict mode). The rlike aggregate scans
+                # only update-ops' doc column: cheap next to the MERGE.
                 "n_unsupported_ops": None,
                 "min_ts": min(all_ts) if all_ts else None,
             }
+            if self.cfg.strict_ops:
+                probe["n_unsupported_ops"] = (
+                    enveloped.where(
+                        (F.col("op") == "u")
+                        & F.col("doc").rlike(UNSUPPORTED_OPS_RE)
+                    ).count()
+                )
         t_pstats = time.monotonic() - t0
 
         # (d) transform, (e) fold to one net event per key — lazily; this
@@ -446,6 +457,14 @@ class CdcPipeline:
         MultiCdcPipeline's single-scan fan-out."""
         # unsupported-update-operator telemetry (module const doc); strict
         # mode fails the batch BEFORE any partial apply
+        if self.cfg.strict_ops and probe.get("n_unsupported_ops") is None:
+            # unmeasured strictness is unenforced strictness: every path is
+            # supposed to measure when strict_ops is set, so reaching here
+            # is a bug — fail the batch rather than maybe-partially apply
+            raise RuntimeError(
+                f"batch {batch_id}: unsupported-operator count was not "
+                "measured but strict_ops=True — refusing to apply"
+            )
         if probe.get("n_unsupported_ops") and self.cfg.strict_ops:
             raise RuntimeError(
                 f"batch {batch_id}: {probe['n_unsupported_ops']} events carry "

@@ -235,6 +235,51 @@ def test_strict_ops_fails_batch(spark, tmp_path):
         pipe.apply_batch(_events_df(spark, ev), 0)
 
 
+def test_strict_ops_enforced_on_big_batch_probe_skip_path(spark, tmp_path):
+    """r2 ADVICE medium: the big-batch path (n_data ≥ n_buckets ×
+    probe_skip_factor) skipped the doc scan, left n_unsupported_ops=None,
+    and the falsy-None gate let a $push batch apply partially under
+    strict_ops=True. Now strict mode always measures — the cheap rlike
+    aggregate runs even when the key probe is skipped."""
+    pipe = _mk_pipe(spark, tmp_path, n_buckets=2)
+    pipe.cfg.probe_skip_factor = 5   # big-batch threshold: 2*5 = 10 events
+    pipe.cfg.strict_ops = True
+    # no evolution candidates → `cand or not big` really takes the skip path
+    pipe.cfg.include_fields = frozenset({"role", "text"})
+    assert pipe._evolution_candidates() == []
+    ev = [
+        (10 + i, "i", "chat.transcripts",
+         json.dumps({"conv_id": f"c{i}", "turn_idx": 0, "role": "user",
+                     "text": f"t{i}"}))
+        for i in range(19)
+    ] + [
+        (40, "u", "chat.transcripts",
+         json.dumps({"conv_id": "c0", "turn_idx": 0, "$push": {"tags": "x"}})),
+    ]
+    before = pipe.table.latest_version()
+    with pytest.raises(RuntimeError, match="update operators"):
+        pipe.apply_batch(_events_df(spark, ev), 0)
+    assert pipe.table.latest_version() == before  # nothing applied
+
+    # and the same big batch WITHOUT strict mode applies cleanly (no gate)
+    pipe.cfg.strict_ops = False
+    res = pipe.apply_batch(_events_df(spark, ev), 1)
+    assert not res["skipped"]
+
+
+def test_strict_ops_unmeasured_probe_refuses(spark, tmp_path):
+    """Defense-in-depth: a probe that reaches the gate with an unmeasured
+    (None) count under strict_ops must refuse, not silently pass."""
+    pipe = _mk_pipe(spark, tmp_path)
+    pipe.cfg.strict_ops = True
+    probe = {"n_unsupported_ops": None, "min_ts": None, "commands": [],
+             "buckets": [], "nonnull_new": [], "bucket_stats": [],
+             "n_events": 0}
+    with pytest.raises(RuntimeError, match="not.*measured|unmeasured"):
+        pipe._finish_batch(pipe._fold(pipe.transform(
+            _events_df(spark, []))), probe, 0, 0.0)
+
+
 def test_mixed_ops_batch_matches_sequential_oracle(spark, tmp_path):
     """One batch interleaving $set/$unset/$inc/set-null/replace/delete on
     colliding keys must equal the event-by-event pandas replay."""
@@ -408,6 +453,14 @@ def test_salted_fold_equals_plain_fold_on_hot_key(spark):
     salted = {(r["conv_id"], r["turn_idx"]): r.asDict()
               for r in fold_net_events_salted(df, ts_lo=1000, ts_hi=1419, n_salt=8, **kw).collect()}
     assert plain == salted and len(plain) > 5
+
+    # r2 ADVICE low: bounds tighter than the data (events BELOW ts_lo /
+    # above ts_hi) must still fold correctly — the salt is clamped into
+    # [0, n_salt) at both ends, so out-of-range events join the edge slices
+    # instead of creating a negative slice that breaks slice-order=time-order
+    clamped = {(r["conv_id"], r["turn_idx"]): r.asDict()
+               for r in fold_net_events_salted(df, ts_lo=1100, ts_hi=1300, n_salt=8, **kw).collect()}
+    assert plain == clamped
 
 
 def test_pipeline_fold_salt_matches_oracle(spark, tmp_path):

@@ -402,6 +402,18 @@ def q_minhash_neardup(spark, sf):
     return minhash_candidate_pairs_md5(d, id_col="doc_id", text_col="text")
 
 
+def q_neardup_clusters(spark, sf):
+    """Full near-dup DECISION over documents: capped LSH candidates →
+    exact-Jaccard verify → min-label connected components → keep-one.
+    (py_mongo_sync_spark/operators/neardup.py; oracle = the same pipeline
+    in SQL with a recursive-CTE component search.)"""
+    from py_mongo_sync_spark.operators.neardup import neardup_clusters
+
+    d = _t(spark, sf, "documents")
+    return neardup_clusters(d, id_col="doc_id", text_col="text",
+                            warn_oversized=False)
+
+
 def q_simhash_fingerprint(spark, sf):
     from py_mongo_sync_spark.functions.similarity import simhash_fingerprints_md5
 
@@ -492,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine-native / non-SQL (rows-only checks)
         "cdc_replay_synthetic": q_cdc_replay_synthetic,
         "minhash_neardup": q_minhash_neardup,
+        "neardup_clusters": q_neardup_clusters,
         "simhash_fingerprint": q_simhash_fingerprint,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
@@ -832,6 +845,63 @@ def _hash_parity_oracles() -> dict[str, str]:
         GROUP BY 1, 2
     """
 
+    # --- neardup decision: same banding, then cap → verify → components.
+    # The component search is a recursive CTE: walk enumerates every
+    # (node, reachable-seed) pair over the symmetric edge set; min per node
+    # = the component's minimum id (identical to Spark's min-label fold).
+    cap, thr = 64, 80
+    neardup_clusters_sql = f"""
+        WITH RECURSIVE sh AS (
+            SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, greatest(len(text) - 4, 1) + 1),
+                                i -> substr(text, i::INT, 5))) AS s
+                  FROM documents)
+        ), mins AS (SELECT doc_id, {mins}
+                    FROM sh GROUP BY doc_id),
+        bands AS ({band_rows}),
+        sizes AS (SELECT band, bkey, count(*) AS n, min(doc_id) AS rep
+                  FROM bands GROUP BY band, bkey),
+        tagged AS (SELECT b.doc_id, b.band, b.bkey, s.n, s.rep
+                   FROM bands b JOIN sizes s USING (band, bkey)),
+        cand AS (
+            SELECT DISTINCT doc_a, doc_b FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM tagged a JOIN tagged b
+                  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+                WHERE a.n <= {cap}
+                UNION ALL
+                SELECT rep AS doc_a, doc_id AS doc_b
+                FROM tagged WHERE n > {cap} AND doc_id <> rep
+            )
+        ),
+        sets AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, greatest(len(text) - 4, 1) + 1),
+                                 i -> substr(text, i::INT, 5))) AS s
+            FROM documents
+        ),
+        ver AS (
+            SELECT doc_a, doc_b FROM cand
+            JOIN sets sa ON sa.doc_id = cand.doc_a
+            JOIN sets sb ON sb.doc_id = cand.doc_b
+            WHERE len(list_intersect(sa.s, sb.s)) * 100
+                  >= {thr} * (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+        ),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM ver
+                  UNION ALL SELECT doc_b, doc_a FROM ver),
+        walk AS (
+            SELECT src AS node, src AS label FROM edges
+            UNION
+            SELECT e.dst AS node, w.label FROM walk w JOIN edges e ON e.src = w.node
+        ),
+        labels AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node)
+        SELECT d.doc_id,
+               coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+               (d.doc_id = coalesce(l.cluster_id, d.doc_id)) AS keep
+        FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+    """
+
     # --- LSH-bucketed ANN (6 md5-weight hyperplanes over 64 dims)
     def wlist(p: int) -> str:
         return (
@@ -865,5 +935,6 @@ def _hash_parity_oracles() -> dict[str, str]:
         "simhash_fingerprint": simhash,
         "simhash_neardup_pairs": simhash_pairs,
         "minhash_neardup": minhash,
+        "neardup_clusters": neardup_clusters_sql,
         "ann_lsh_bucketed": ann,
     }

@@ -1,0 +1,211 @@
+"""Near-duplicate dedup as a DECISION, not just candidate pairs.
+
+The reference's contract is "destination equals source" after replay
+(/root/reference/mongosync/mongo/syncer.py:104-123); the training-data
+analogue is "corpus minus duplicates" — which needs three stages past
+MinHash banding:
+
+1. capped candidate generation — LSH band buckets, but a bucket larger
+   than ``max_bucket`` emits representative edges (member ↔ bucket-min,
+   O(c)) instead of all pairs (O(c²)): a web corpus's boilerplate
+   mega-cluster of 10⁵ near-identical docs would otherwise emit 10¹⁰
+   pairs from a single bucket. Oversized buckets are COUNTED (returned
+   as stats) — no silent truncation.
+2. verification — candidates are scored with EXACT shingle-set Jaccard
+   (array_intersect on distinct k-gram sets, integer cross-multiplied
+   threshold compare so the cut is bit-identical across engines); LSH
+   false positives die here.
+3. clustering — verified edges are folded to connected components by
+   iterative min-label propagation (converges in O(log diameter)
+   rounds, each one join + one groupBy); ``keep`` marks the minimum
+   doc_id of each component — the deterministic keep-one policy.
+
+Every shuffle is keyed on (band, bucket-key) or doc id — no all-pairs
+join anywhere; stage cost is linear in corpus + candidate count.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+from pyspark.sql import DataFrame, functions as F
+
+from py_mongo_sync_spark.functions.similarity import (
+    char_shingles,
+    md5_long,
+    minhash_signatures_md5,
+)
+
+
+def banded_signature_rows(
+    df: DataFrame, id_col: str, text_col: str,
+    n_hashes: int = 16, bands: int = 8, k: int = 5,
+) -> DataFrame:
+    """(_id, band, bkey) rows — one per doc per band — from the md5
+    oracle-parity signature (functions/similarity.py)."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures_md5(df, id_col, text_col, n_hashes, k)
+    return sig.select(
+        "_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(",", *[
+                        F.col(f"m{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ]).alias("bkey"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bkey")
+
+
+def capped_candidate_pairs(
+    banded: DataFrame, max_bucket: int = 64
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate (doc_a < doc_b) pairs with the mega-bucket guard.
+
+    Buckets of size ≤ ``max_bucket``: full within-bucket self-join (cost
+    bounded by max_bucket² per bucket). Larger buckets: one edge per
+    member to the bucket's min id — O(c), keeps the bucket connected for
+    clustering; precision is restored by Jaccard verification, and the
+    (rare) member that matches another member but not the representative
+    is the documented recall trade for not emitting c² pairs.
+
+    Returns (pairs, bucket_stats) where bucket_stats has one row per
+    OVERSIZED bucket: (band, bkey, n_docs) — count-them telemetry.
+    """
+    sizes = banded.groupBy("band", "bkey").agg(
+        F.count(F.lit(1)).alias("_n"), F.min("_id").alias("_rep")
+    )
+    tagged = banded.join(sizes, ["band", "bkey"])
+    small = tagged.where(F.col("_n") <= max_bucket)
+    a, b = small.alias("a"), small.alias("b")
+    small_pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a._id") < F.col("b._id")),
+    ).select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+    big = tagged.where(F.col("_n") > max_bucket)
+    big_pairs = big.where(F.col("_id") != F.col("_rep")).select(
+        F.col("_rep").alias("doc_a"), F.col("_id").alias("doc_b")
+    )
+    pairs = small_pairs.unionByName(big_pairs).distinct()
+    stats = (
+        sizes.where(F.col("_n") > max_bucket)
+        .select("band", "bkey", F.col("_n").alias("n_docs"))
+    )
+    return pairs, stats
+
+
+def verify_pairs_jaccard(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str,
+    k: int = 5, threshold_pct: int = 80,
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidates ONLY (never all-pairs).
+    Keep iff |A∩B| * 100 ≥ threshold_pct * |A∪B| — integer cross-multiply,
+    so Spark and any SQL oracle cut at exactly the same pairs."""
+    sets_df = df.select(
+        F.col(id_col).alias("_sid"),
+        F.array_distinct(char_shingles(text_col, k)).alias("_set"),
+    )
+    j = (
+        pairs.join(sets_df.withColumnRenamed("_sid", "doc_a")
+                   .withColumnRenamed("_set", "_sa"), "doc_a")
+        .join(sets_df.withColumnRenamed("_sid", "doc_b")
+              .withColumnRenamed("_set", "_sb"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    return (
+        j.where(inter * 100 >= F.lit(threshold_pct) * union)
+        .select("doc_a", "doc_b")
+    )
+
+
+def connected_components_min_label(
+    edges: DataFrame, max_rounds: int = 15
+) -> DataFrame:
+    """Min-label propagation over undirected edges → (node, cluster_id)
+    with cluster_id = min id of the component. Each round: one join + one
+    groupBy (label doubling — converges in O(log diameter) rounds; near-dup
+    components are shallow). The convergence probe is an aggregate count,
+    not a data collect. Raises if not converged within ``max_rounds``."""
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    sym = sym.persist()
+    try:
+        for _ in range(max_rounds):
+            labels = labels.persist()
+            neigh = (
+                sym.join(labels, sym["dst"] == labels["node"])
+                .groupBy("src").agg(F.min("label").alias("_nl"))
+            )
+            new = (
+                labels.join(neigh, labels["node"] == neigh["src"], "left")
+                .select(
+                    "node",
+                    F.least(F.col("label"), F.coalesce("_nl", F.col("label")))
+                    .alias("label"),
+                )
+            ).persist()
+            changed = (
+                new.alias("n").join(labels.alias("o"), "node")
+                .where(F.col("n.label") != F.col("o.label")).count()
+            )
+            labels.unpersist()
+            labels = new
+            if changed == 0:
+                return labels.select("node", F.col("label").alias("cluster_id"))
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} rounds "
+            "— pathological chain-shaped component; raise max_rounds"
+        )
+    finally:
+        sym.unpersist()
+
+
+def neardup_clusters(
+    df: DataFrame, id_col: str, text_col: str,
+    n_hashes: int = 16, bands: int = 8, k: int = 5,
+    max_bucket: int = 64, threshold_pct: int = 80,
+    warn_oversized: bool = True,
+) -> DataFrame:
+    """The full decision: every doc → (doc_id, cluster_id, keep).
+    Docs in no verified pair are their own singleton cluster (keep=true);
+    within a component the minimum doc_id is kept. ``corpus minus
+    duplicates`` = ``where keep``."""
+    banded = banded_signature_rows(df, id_col, text_col, n_hashes, bands, k)
+    pairs, oversized = capped_candidate_pairs(banded, max_bucket)
+    if warn_oversized:
+        n_over = oversized.count()
+        if n_over:
+            warnings.warn(
+                f"neardup_clusters: {n_over} band buckets exceeded "
+                f"max_bucket={max_bucket} and used representative edges "
+                "(O(c) instead of O(c^2); recall within those buckets is "
+                "representative-mediated)",
+                stacklevel=2,
+            )
+    verified = verify_pairs_jaccard(df, pairs, id_col, text_col, k, threshold_pct)
+    comp = connected_components_min_label(verified)
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(comp, F.col("doc_id") == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+    )

@@ -1,0 +1,120 @@
+"""Near-dup decision stage: capped candidates → Jaccard verify →
+connected components → keep-one. Brute-force oracles in pandas."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from py_mongo_sync_spark.operators.neardup import (
+    banded_signature_rows,
+    capped_candidate_pairs,
+    connected_components_min_label,
+    neardup_clusters,
+    verify_pairs_jaccard,
+)
+
+BASE_A = "the quick brown fox jumps over the lazy dog near the river bank today"
+BASE_B = "spark shuffles partition data across executors during wide transformations"
+
+DOCS = [
+    (0, BASE_A),
+    (1, BASE_A + " extra"),
+    (2, BASE_A.replace("dog", "cat")),
+    (3, BASE_A.replace("today", "tonight")),
+    (4, BASE_B),
+    (5, BASE_B.replace("data", "rows")),
+    (6, "completely unrelated text about cooking pasta with garlic and olive oil"),
+    (7, "another lone document mentioning databases and indexes and nothing else"),
+]
+
+
+def _shingle_set(text: str, k: int = 5) -> set[str]:
+    n = max(len(text) - (k - 1), 1)
+    return {text[i:i + k] for i in range(n)}
+
+
+def _brute_clusters(docs, threshold_pct=80, k=5):
+    sets = {i: _shingle_set(t, k) for i, t in docs}
+    parent = {i: i for i, _ in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if inter * 100 >= threshold_pct * union:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i, _ in docs}
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_clusters_match_bruteforce(spark, docs):
+    expect = _brute_clusters(DOCS)
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in neardup_clusters(docs, "doc_id", "text").collect()}
+    assert {i: c for i, (c, _) in got.items()} == expect
+    # keep == is-cluster-min, exactly one keeper per cluster
+    for i, (c, keep) in got.items():
+        assert keep == (i == c)
+    keepers = {c for _, (c, _) in got.items()}
+    assert all(got[c][1] for c in keepers)
+
+
+def test_bucket_cap_drops_nothing_at_fixture_scale(spark, docs):
+    """max_bucket=1 forces EVERY multi-doc bucket onto representative
+    edges; the decision must still match brute force (representatives are
+    cluster minima here, and verification passes within families)."""
+    expect = _brute_clusters(DOCS)
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in neardup_clusters(
+               docs, "doc_id", "text", max_bucket=1, warn_oversized=False
+           ).collect()}
+    assert got == expect
+
+
+def test_capped_pairs_emit_linear_edges_for_big_buckets(spark):
+    """A 30-doc identical-text cluster: uncapped emits C(30,2)=435 pairs,
+    capped at 8 emits the 29 representative edges — O(c), not O(c²)."""
+    rows = [(i, "identical boilerplate text repeated everywhere") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    banded = banded_signature_rows(df, "doc_id", "text")
+    pairs, stats = capped_candidate_pairs(banded, max_bucket=8)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert got == {(0, i) for i in range(1, 30)}
+    st = stats.collect()
+    assert len(st) == 8 and all(r["n_docs"] == 30 for r in st)  # telemetry
+
+    # and with the cap above the bucket size: the full pair set
+    pairs2, stats2 = capped_candidate_pairs(banded, max_bucket=64)
+    assert pairs2.count() == 435 and stats2.count() == 0
+
+
+def test_verification_kills_lsh_false_positive(spark):
+    """A pair that collides in a band but fails exact Jaccard must not
+    survive verification."""
+    df = spark.createDataFrame(
+        [(0, "abcde" * 4), (1, "vwxyz" * 4)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    assert verify_pairs_jaccard(df, pairs, "doc_id", "text").count() == 0
+
+
+def test_components_handle_chains_and_isolated(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r["node"]: r["cluster_id"]
+           for r in connected_components_min_label(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}

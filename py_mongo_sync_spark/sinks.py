@@ -12,8 +12,14 @@ maintains the CURRENT document set only —
   for replay safety);
 - updates are partial-document merges ($set/$unset/$inc translated exactly
   like the ES syncer's partial-update scripts, es/syncer.py:182-216);
-- each batch applies as one atomic index swap (versioned parquet + pointer
-  rename — the refresh-visibility analogue), idempotent on batch_id.
+- each batch applies as one atomic index swap (versioned metadata +
+  pointer rename — the refresh-visibility analogue), idempotent on
+  batch_id;
+- the index is HASH-BUCKETED on the key (the lake's bucket layout,
+  plans/lake.py bucket_expr): a batch reads and rewrites ONLY the buckets
+  its keys touch, so per-batch I/O is O(touched buckets), not O(index) —
+  the r2 full-index-rewrite scale killer is gone. Unchanged buckets stay
+  referenced from their previous version directories.
 
 ``SearchSyncPipeline`` reuses CdcPipeline's transform + per-key fold and
 routes the net events here instead of the lake MERGE — the engine-level
@@ -30,17 +36,22 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from py_mongo_sync_spark.operators.dedup import fold_net_events
+from py_mongo_sync_spark.plans.lake import bucket_expr
+
+_SB = "_sbucket"
 
 
 class SearchDocSink:
-    """Current-state document store with atomic versioned swaps."""
+    """Current-state document store: hash-bucketed, atomic versioned swaps."""
 
     def __init__(self, spark: SparkSession, path: str,
-                 key_cols: list[str], ts_col: str = "ts"):
+                 key_cols: list[str], ts_col: str = "ts",
+                 n_buckets: int = 16):
         self.spark = spark
         self.path = path
         self.key_cols = key_cols
         self.ts_col = ts_col
+        self.n_buckets = n_buckets
 
     # ---------------------------------------------------------------- io
 
@@ -67,13 +78,15 @@ class SearchDocSink:
         recent = m.get("recent_batch_ids", [])
         return batch_id in recent or (bool(recent) and batch_id < min(recent))
 
-    def _commit(self, version: int, schema_json: dict, batch_id: int | None) -> None:
+    def _commit(self, version: int, schema_json: dict, batch_id: int | None,
+                buckets: dict[str, int | None]) -> None:
         prev = self._meta() if self.exists() else {"recent_batch_ids": []}
         recent = list(prev.get("recent_batch_ids", []))
         if batch_id is not None:
             recent = sorted(set(recent) | {batch_id})[-64:]
         meta = {"version": version, "schema": schema_json,
-                "recent_batch_ids": recent}
+                "recent_batch_ids": recent,
+                "n_buckets": self.n_buckets, "buckets": buckets}
         os.makedirs(os.path.dirname(self._meta_path(version)), exist_ok=True)
         tmp = self._meta_path(version) + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -87,36 +100,91 @@ class SearchDocSink:
     def _data_dir(self, version: int) -> str:
         return os.path.join(self.path, "index", f"v{version:08d}")
 
+    def _bucket_dir(self, version: int, bucket: int) -> str:
+        return os.path.join(self._data_dir(version), f"{_SB}={bucket}")
+
     # -------------------------------------------------------------- write
+
+    def _write_bucketed(self, docs: DataFrame, version: int) -> set[int]:
+        """Write docs partitioned by key-hash bucket under the version dir;
+        return the set of buckets that produced files. Repartitioning on the
+        bucket keeps file counts bounded (one task per bucket)."""
+        out = (
+            docs.withColumn(_SB, bucket_expr(self.key_cols, self.n_buckets))
+            .repartition(self.n_buckets, _SB)
+        )
+        out.write.mode("overwrite").partitionBy(_SB).parquet(self._data_dir(version))
+        written = set()
+        ddir = self._data_dir(version)
+        if os.path.isdir(ddir):
+            for d in os.listdir(ddir):
+                if d.startswith(f"{_SB}="):
+                    written.add(int(d.split("=", 1)[1]))
+        return written
 
     def bulk_load(self, docs: DataFrame) -> None:
         """Initial index build (reference: ES snapshot bulk index,
         es/syncer.py:65-84)."""
         version = (self._meta()["version"] + 1) if self.exists() else 1
-        docs.write.mode("overwrite").parquet(self._data_dir(version))
-        self._commit(version, docs.schema.jsonValue(), None)
+        written = self._write_bucketed(docs, version)
+        buckets: dict[str, int | None] = {
+            str(b): (version if b in written else None)
+            for b in range(self.n_buckets)
+        }
+        self._commit(version, docs.schema.jsonValue(), None, buckets)
 
-    def read(self) -> DataFrame:
+    def read(self, buckets: list[int] | None = None) -> DataFrame:
+        """Current document set; ``buckets`` restricts to those key-hash
+        buckets (the per-batch read path — bucket pruning)."""
         from pyspark.sql import types as T
 
         if not self.exists():
             raise FileNotFoundError(f"no index at {self.path}")
         m = self._meta()
         schema = T.StructType.fromJson(m["schema"])
-        return self.spark.read.schema(schema).parquet(self._data_dir(m["version"]))
+        want = range(self.n_buckets) if buckets is None else buckets
+        paths = [
+            self._bucket_dir(m["buckets"][str(b)], b)
+            for b in want
+            if m["buckets"].get(str(b)) is not None
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        # explicit schema: buckets written before a schema evolution lack
+        # the new columns — the reader fills them with NULL
+        return self.spark.read.schema(schema).parquet(*paths)
 
     def apply_net_events(self, source: DataFrame, batch_id: int) -> dict:
         """Apply one microbatch of per-key net events (``_op``/``_is_patch``
         + optional ``_unset_cols``/``_inc_map``, the same contract as
-        LakeTable.merge): current docs and events feed the engine fold,
-        deletes drop out physically, and the surviving document set swaps in
-        as the next index version. ES-action mapping per
-        es/syncer.py:242-258: replace→index, patch→update, d→delete."""
+        LakeTable.merge): the batch's key-hash buckets are probed (one
+        ≤ n_buckets-row aggregate), ONLY those buckets' current docs feed
+        the engine fold, deletes drop out physically, and the touched
+        buckets swap to the next version — unchanged buckets keep their
+        old pointers (per-batch I/O ∝ touched buckets, never the index).
+        ES-action mapping per es/syncer.py:242-258: replace→index,
+        patch→update, d→delete."""
+        from pyspark import StorageLevel
+
         t0 = time.monotonic()
         if self.is_committed(batch_id):
             return {"skipped": True, "batch_id": batch_id}
         m = self._meta()
-        cur = self.read()
+        self.n_buckets = m.get("n_buckets", self.n_buckets)
+        source = source.persist(StorageLevel.DISK_ONLY)
+        changed = sorted(
+            r[0]
+            for r in source.select(
+                bucket_expr(self.key_cols, self.n_buckets).alias("_b")
+            ).distinct().collect()
+        )
+        if not changed:
+            source.unpersist()
+            self._commit(m["version"] + 1, m["schema"], batch_id, m["buckets"])
+            return {"skipped": False, "batch_id": batch_id,
+                    "changed_buckets": 0, "version": m["version"] + 1,
+                    "wall_ms": int((time.monotonic() - t0) * 1000)}
+        cur = self.read(buckets=changed)
         # schema evolution: event columns absent from the index map in
         table_cols = cur.columns
         new_cols = [
@@ -159,10 +227,22 @@ class SearchDocSink:
             (F.col("_op") != "d") & ~F.col("_is_patch")
         ).select(*table_cols)
         version = m["version"] + 1
-        docs.write.mode("overwrite").parquet(self._data_dir(version))
-        self._commit(version, docs.schema.jsonValue(), batch_id)
+        written = self._write_bucketed(docs, version)
+        source.unpersist()
+        stray = written - set(changed)
+        if stray:
+            raise RuntimeError(
+                f"search-index bucket-math mismatch: probe said {changed}, "
+                f"write produced {sorted(stray)}"
+            )
+        buckets = dict(m["buckets"])
+        for b in changed:  # a changed bucket with no surviving docs → empty
+            buckets[str(b)] = version if b in written else None
+        # evolved schema applies to the whole index (old buckets NULL-fill)
+        self._commit(version, docs.schema.jsonValue(), batch_id, buckets)
         return {
             "skipped": False, "batch_id": batch_id, "version": version,
+            "changed_buckets": len(changed),
             "wall_ms": int((time.monotonic() - t0) * 1000),
         }
 
@@ -177,7 +257,8 @@ class SearchSyncPipeline:
         from py_mongo_sync_spark.streaming.pipeline import CdcPipeline
 
         self._helper = CdcPipeline(spark, cfg, dst_ns=dst_ns)
-        self.sink = SearchDocSink(spark, cfg.dst_path, KEY_COLS)
+        self.sink = SearchDocSink(spark, cfg.dst_path, KEY_COLS,
+                                  n_buckets=cfg.n_buckets)
         self.cfg = cfg
 
     def initial_sync(self, snapshot: DataFrame) -> None:

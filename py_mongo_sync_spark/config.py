@@ -77,6 +77,12 @@ class SyncConfig:
     #: count the rest into n_unsupported_ops telemetry (the reference's
     #: log-and-skip posture, mongo/handler.py:156-163).
     strict_ops: bool = False
+    #: MultiCdcPipeline: per-table MERGE commits are independent (each table
+    #: has its own manifest dir), so up to this many run concurrently from a
+    #: thread pool — per-batch latency tracks the LARGEST table's merge, not
+    #: the sum over all tables (the reference syncs whole replica sets:
+    #: hundreds of collections). 1 = serial.
+    merge_parallelism: int = 8
 
     # ---- DataFilter port (data_filter.py:19-51) ----------------------------
 

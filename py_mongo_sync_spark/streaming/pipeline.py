@@ -602,6 +602,7 @@ class MultiCdcPipeline:
         import os
 
         self.spark = spark
+        self.merge_parallelism = cfg.merge_parallelism
         self.pipes: dict[str, CdcPipeline] = {}
         for ns in sorted(ns_list):
             safe = ns.replace(".", "__")
@@ -668,15 +669,38 @@ class MultiCdcPipeline:
 
         parsed = lead.transform(events, multi_ns=ns_list)
         folded = lead._fold(parsed, extra_keys=["ns"]).persist(StorageLevel.DISK_ONLY)
+        # materialize the shared fold ONCE before fanning out: concurrent
+        # first-use from several threads would otherwise race to compute it
+        folded.count()
+
+        # per-table MERGEs are independent (each table commits to its own
+        # manifest dir), so run them from a thread pool — batch latency is
+        # the largest table's merge, not the sum over hundreds of tables.
+        # Spark job submission is thread-safe; a FAIR scheduler pool (if
+        # configured) interleaves them, and even under FIFO the cluster
+        # overlaps jobs as task slots free up.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def run_one(ns: str) -> tuple[str, dict]:
+            p = pending[ns]
+            self.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", "cdc-merge"
+            )
+            slice_df = folded.where(F.col("ns") == ns).drop("ns")
+            return ns, p._finish_batch(
+                slice_df, probes[ns], batch_id, _time.monotonic(),
+                t_pstats=t_probe,
+            )
+
+        workers = max(1, min(self.merge_parallelism, len(ns_list)))
         try:
-            for ns in ns_list:
-                p = pending[ns]
-                t_ns = _time.monotonic()
-                slice_df = folded.where(F.col("ns") == ns).drop("ns")
-                res = p._finish_batch(
-                    slice_df, probes[ns], batch_id, t_ns, t_pstats=t_probe
-                )
-                results[ns] = res
+            if workers == 1:
+                for ns in ns_list:
+                    results[ns] = run_one(ns)[1]
+            else:
+                with ThreadPoolExecutor(max_workers=workers) as pool:
+                    for ns, res in pool.map(run_one, ns_list):
+                        results[ns] = res
         finally:
             folded.unpersist()
         return results

@@ -448,7 +448,8 @@ def q_ann_lsh_bucketed(spark, sf):
     e = _t(spark, sf, "embeddings")
     q = e.where("vec_id = 0").select("embedding")
     top = ann_bucketed_topk(
-        e.where("vec_id <> 0"), q, k=10, n_planes=6, dim=64, weight_mode="md5"
+        e.where("vec_id <> 0"), q, k=10, n_planes=6, dim=64, weight_mode="md5",
+        multiprobe=1,
     )
     return top.select("vec_id", F.round("cos", 4).alias("cos_sim"))
 
@@ -918,13 +919,17 @@ def _hash_parity_oracles() -> dict[str, str]:
 
     cos = ("list_dot_product(v, qv) / (sqrt(list_dot_product(v, v))"
            " * sqrt(list_dot_product(qv, qv)))")
+    # multiprobe=1: probe the query bucket plus its 6 Hamming-1 neighbors
+    probe_list = ", ".join(
+        f"xor((SELECT qbucket FROM qb), {m})" for m in [0, 1, 2, 4, 8, 16, 32]
+    )
     ann = f"""
         WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
         qb AS (SELECT {bucket('qv')} AS qbucket FROM q),
         cand AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
             WHERE vec_id <> 0
-              AND {bucket('embedding::DOUBLE[]')} = (SELECT qbucket FROM qb)
+              AND {bucket('embedding::DOUBLE[]')} IN ({probe_list})
         )
         SELECT vec_id, round({cos}, 4) AS cos_sim
         FROM cand, q

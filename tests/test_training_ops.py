@@ -157,6 +157,44 @@ def test_brute_force_and_lsh_ann(spark):
     assert ann and ann[0]["vec_id"] == 1
 
 
+def test_ann_multiprobe_recall_on_clustered_corpus(spark):
+    """r2 VERDICT #5: quantify ANN recall and prove multi-probe recovers
+    borderline neighbors. Seeded corpus with REAL neighbor structure
+    (12 centroids × 40 tight perturbations, mates at cos ≈ 0.9 — on the
+    iid-random embeddings fixture NO sublinear method has recall, by
+    concentration of measure; that case is recorded in BENCH.md)."""
+    import math
+    import random
+
+    rng = random.Random(42)
+    dim = 64
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    cents = [unit([rng.gauss(0, 1) for _ in range(dim)]) for _ in range(12)]
+    rows = []
+    for c in cents:
+        for _ in range(40):
+            rows.append((len(rows), unit([x + rng.gauss(0, 0.04) for x in c])))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where("vec_id = 0").select("embedding")
+    corpus = emb.where("vec_id <> 0")
+
+    exact = {r["vec_id"] for r in brute_force_topk(corpus, q, k=10).collect()}
+
+    def recall(multiprobe):
+        got = {r["vec_id"] for r in ann_bucketed_topk(
+            corpus, q, k=10, n_planes=6, dim=dim, multiprobe=multiprobe
+        ).collect()}
+        return len(got & exact) / 10
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= 0.9, (r0, r1)
+    assert r1 >= r0  # neighbor buckets only ADD candidates
+
+
 def test_text_functions(spark):
     df = spark.createDataFrame(
         [("the cat sat on the mat, happily!",),

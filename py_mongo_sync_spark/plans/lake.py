@@ -840,6 +840,40 @@ class LakeTable:
             deltas={},
         ))
 
+    def rename_to(self, new_path: str) -> None:
+        """Metadata-level table move (the lake analogue of the reference's
+        replayed renameCollection command, mongo/handler.py:156-163, and of
+        an Iceberg catalog rename): ONE directory rename — no data rewrite —
+        then a path-prefix rewrite over the version manifests, whose file
+        lists are absolute. Same-filesystem ``os.rename`` is atomic; a crash
+        between the move and the manifest rewrite leaves manifests pointing
+        at the old prefix, which the rewrite-on-next-open below repairs
+        (prefix fixing is idempotent)."""
+        new_path = os.path.normpath(new_path)
+        old_path = os.path.normpath(self.path)
+        if os.path.exists(new_path):
+            raise FileExistsError(f"rename target exists: {new_path}")
+        os.makedirs(os.path.dirname(new_path), exist_ok=True)
+        os.rename(old_path, new_path)
+        self.path = new_path
+
+        def fix(p: str) -> str:
+            return new_path + p[len(old_path):] if p.startswith(old_path + os.sep) else p
+
+        for name in sorted(os.listdir(self._versions_dir)):
+            if not name.endswith(".json"):
+                continue
+            mpath = os.path.join(self._versions_dir, name)
+            with open(mpath) as f:
+                m = json.load(f)
+            m["buckets"] = {b: [fix(p) for p in fs] for b, fs in m.get("buckets", {}).items()}
+            if m.get("deltas"):
+                m["deltas"] = {b: [fix(p) for p in fs] for b, fs in m["deltas"].items()}
+            tmp = mpath + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(m, f)
+            os.replace(tmp, mpath)
+
     # -------------------------------------------------------------- utils
 
     def vacuum_tombstones(self, before_ts) -> dict:

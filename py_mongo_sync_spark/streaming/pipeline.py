@@ -146,7 +146,13 @@ class CdcPipeline:
         if multi_ns is not None:
             df = df.where(F.col("ns").isin(multi_ns))
         else:
-            df = df.where(F.col("ns") == self.dst_ns)
+            # a rename_table command inside the CURRENT batch widens the
+            # accepted set to {old ns, new ns} for this batch only — both
+            # name the same (renamed) table, so pre- and post-rename events
+            # of a mixed batch land together, like the reference's
+            # sequential replay where the command is a barrier
+            accept = sorted(getattr(self, "_batch_accept_ns", None) or {self.dst_ns})
+            df = df.where(F.col("ns").isin(accept))
         return df.where(op.isin("i", "u", "d"))
 
     def _evolution_candidates(self) -> list[str]:
@@ -296,7 +302,8 @@ class CdcPipeline:
         (mongo/handler.py:156-163: a command that doesn't apply is logged
         and skipped, not fatal), but every skip is COUNTED and named so
         dropped DDL is visible to operators (res['ddl'] + a partition_id=-2
-        lineage row). Supported: add_column, drop_column, truncate."""
+        lineage row). Supported: add_column, drop_column, truncate,
+        rename_table."""
         stats: dict = {"applied": 0, "skipped": 0, "skipped_cmds": []}
         for _ts, doc in commands:
             try:
@@ -308,6 +315,8 @@ class CdcPipeline:
                     self.table.drop_column(cmd["name"])
                 elif kind == "truncate":
                     self.table.truncate()
+                elif kind == "rename_table":
+                    self._rename_table(cmd)
                 else:
                     stats["skipped"] += 1
                     stats["skipped_cmds"].append(str(kind)[:64])
@@ -317,6 +326,39 @@ class CdcPipeline:
                 stats["skipped"] += 1
                 stats["skipped_cmds"].append(f"error:{type(e).__name__}")
         return stats
+
+    @staticmethod
+    def _safe_cmd(doc: str) -> dict:
+        try:
+            c = json.loads(doc)
+            return c if isinstance(c, dict) else {}
+        except Exception:
+            return {}
+
+    def _rename_table(self, cmd: dict) -> None:
+        """Replay ``{"cmd": "rename_table", "to": "db.coll"}`` (reference:
+        arbitrary replayed commands incl. renameCollection,
+        mongo/handler.py:156-163): metadata-level LakeTable move + retarget
+        this pipeline's destination namespace so subsequent events in the
+        batch/stream land in the renamed table. The destination directory is
+        ``cmd["to_path"]`` if given, else the sibling of the current one
+        named after the new namespace (MultiCdcPipeline's layout).
+
+        Scope: single-table pipelines retarget fully (same-batch events
+        under the new ns are accepted via _batch_accept_ns). Under
+        MultiCdcPipeline the owning table moves, but the fan-out routing
+        key keeps the old namespace until the pipeline is reconstructed —
+        rename under multi-table sync needs a restart to re-route."""
+        import os
+
+        to_ns = cmd["to"]
+        new_path = cmd.get("to_path") or os.path.join(
+            os.path.dirname(os.path.normpath(self.cfg.dst_path)),
+            to_ns.replace(".", "__"),
+        )
+        self.table.rename_to(new_path)
+        self.cfg.dst_path = new_path
+        self.dst_ns = to_ns
 
     # --------------------------------------------------------------- apply
 
@@ -405,6 +447,19 @@ class CdcPipeline:
                     ).count()
                 )
         t_pstats = time.monotonic() - t0
+
+        # rename_table commands in THIS batch: accept events under both the
+        # old and the new namespace (same destination table — the rename is
+        # a metadata move); the table/dst_ns retarget itself happens in
+        # _finish_batch's command replay, before the MERGE executes. Bucket
+        # hints probed under the old filter may under-report; the
+        # pre-commit HintViolation guard retries hint-free in that case.
+        self._batch_accept_ns = {self.dst_ns} | {
+            c.get("to")
+            for _t, d in probe["commands"]
+            for c in [self._safe_cmd(d)]
+            if c.get("cmd") == "rename_table" and c.get("to")
+        }
 
         # (d) transform, (e) fold to one net event per key — lazily; this
         # lineage executes exactly once, inside the MERGE join job. With

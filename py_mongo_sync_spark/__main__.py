@@ -37,7 +37,34 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--spark-checkpoint", default=None,
                     help="Structured Streaming checkpointLocation "
                          "(default: <dst.checkpoint_path>/_spark)")
+    ap.add_argument("--multi", action="store_true",
+                    help="catalog-driven multi-table sync: one destination "
+                         "table per namespace from [[sync.dbs]] (wildcard "
+                         "dbs are discovered from the event stream), like "
+                         "the reference syncing every collection of the "
+                         "replica set (common_syncer.py:120-135)")
     return ap
+
+
+def _catalog_namespaces(spark, cfg, extras) -> list[str]:
+    """The destination-namespace catalog for --multi: explicit TOML colls,
+    plus stream-observed namespaces for wildcard (db.*) entries — the
+    Spark analogue of the reference's _collect_colls server scan
+    (common_syncer.py:120-135). Discovery is ONE column-pruned distinct
+    over the ns column; its result is bounded by the namespace count."""
+    from py_mongo_sync_spark.functions.namespace import valid_ns_values
+    from py_mongo_sync_spark.schema import OPLOG_SCHEMA
+
+    src_ns = set(extras["namespaces"])
+    if (extras["has_wildcard_dbs"] or not src_ns) and extras["events_path"]:
+        reader = spark.read.schema(OPLOG_SCHEMA)
+        df = (reader.parquet(extras["events_path"])
+              if extras["events_format"] == "parquet"
+              else reader.json(extras["events_path"]))
+        observed = [r["ns"] for r in df.select("ns").distinct().collect()
+                    if r["ns"]]
+        src_ns |= set(valid_ns_values(cfg, observed))
+    return sorted({cfg.map_ns(ns) for ns in src_ns})
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -54,6 +81,8 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     spark = get_spark("py_mongo_sync_spark", cores=args.cores)
+    if args.multi:
+        return _run_multi(spark, cfg, extras, args)
     pipe = CdcPipeline(spark, cfg, dst_ns=extras["dst_ns"])
 
     # Phase A: initial sync (reference common_syncer.py:103-118) — only when
@@ -95,6 +124,53 @@ def main(argv: list[str] | None = None) -> int:
     print(json.dumps({"stage": "OPLOG_SYNC_DONE",
                       "batches": len(pipe.last_stats),
                       "rows": pipe.table.read().count()}))
+    return 0
+
+
+def _run_multi(spark, cfg, extras, args) -> int:
+    """Catalog-driven multi-table sync: one lake table per namespace under
+    [dst] path, fed by ONE shared stream scan (MultiCdcPipeline)."""
+    from py_mongo_sync_spark.schema import TRANSCRIPT_SCHEMA_V0
+    from py_mongo_sync_spark.sources.oplog import read_oplog_stream
+    from py_mongo_sync_spark.streaming.pipeline import MultiCdcPipeline
+
+    if args.resume:
+        print("error: --resume is not supported with --multi yet "
+              "(per-table watermarks differ); use --start-optime",
+              file=sys.stderr)
+        return 2
+    ns_list = _catalog_namespaces(spark, cfg, extras)
+    if not ns_list:
+        print(json.dumps({"stage": "DONE", "note": "no namespaces in catalog"}))
+        return 0
+    print(json.dumps({"stage": "CATALOG", "namespaces": ns_list}))
+
+    multi = MultiCdcPipeline(spark, cfg, ns_list)
+    fresh = {ns: p for ns, p in multi.pipes.items() if not p.table.exists()}
+    if fresh:
+        multi.initial_sync({
+            ns: spark.createDataFrame([], TRANSCRIPT_SCHEMA_V0) for ns in fresh
+        })
+        print(json.dumps({"stage": "INITIAL_SYNC", "tables": sorted(fresh)}))
+
+    if not extras["events_path"]:
+        print(json.dumps({"stage": "DONE", "note": "no [src] events_path"}))
+        return 0
+    stream = read_oplog_stream(
+        spark, extras["events_path"],
+        start_optime=(args.start_optime if args.start_optime is not None
+                      else extras.get("start_optime")),
+        fmt=extras["events_format"],
+    )
+    spark_cp = args.spark_checkpoint or (cfg.checkpoint_path + "/_spark")
+    q = multi.run_stream(stream, spark_cp, available_now=not args.follow)
+    if args.follow:
+        q.awaitTermination()
+    for ns in ns_list:
+        print(json.dumps({
+            "stage": "OPLOG_SYNC_DONE", "ns": ns,
+            "rows": multi.pipes[ns].table.read().count(),
+        }))
     return 0
 
 

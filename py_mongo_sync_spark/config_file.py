@@ -100,5 +100,12 @@ def load_config(path: str) -> tuple[SyncConfig, dict]:
         "snapshot_path": tml.get("src", {}).get("snapshot_path", ""),
         "start_optime": sync.get("start_optime"),
         "dst_ns": dst.get("ns", "chat.transcripts"),
+        # catalog inputs for multi-table sync: the explicitly-listed source
+        # namespaces, and whether any db entry was a wildcard (db.*) that
+        # needs stream-observed discovery
+        "namespaces": sorted(
+            ns for ns in include_colls if not ns.endswith(".*")
+        ),
+        "has_wildcard_dbs": any(ns.endswith(".*") for ns in include_colls),
     }
     return cfg, extras

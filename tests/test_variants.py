@@ -204,3 +204,39 @@ def test_rename_table_ddl_retargets_destination(spark, tmp_path):
     assert "later" in got2 and "stale-ns" not in got2
     # time travel across the rename still works (manifest paths were fixed)
     assert pipe.table.read(version=1).count() == pre_rows
+
+
+def test_kafka_value_projection_contract(spark):
+    """r2 VERDICT #9: the Kafka value→envelope projection is a pure column
+    transform, unit-tested against a mocked Kafka record batch (binary
+    key/value + topic/partition/offset metadata — no broker needed). Bad
+    JSON yields a NULL envelope, which the op filter downstream drops."""
+    import json as _json
+
+    from py_mongo_sync_spark.sources.oplog import kafka_value_projection
+
+    recs = [
+        ("k0", _json.dumps({"ts": 100, "op": "i", "ns": "chat.transcripts",
+                            "doc": _json.dumps({"conv_id": "c0", "turn_idx": 0})})),
+        ("k1", _json.dumps({"ts": 101, "op": "d", "ns": "chat.transcripts",
+                            "doc": _json.dumps({"conv_id": "c0", "turn_idx": 1})})),
+        ("k2", "not json at all"),
+    ]
+    raw = spark.createDataFrame(
+        [(k.encode(), v.encode(), "oplog", 0, i, None) for i, (k, v) in enumerate(recs)],
+        "key binary, value binary, topic string, partition int, offset long, "
+        "timestamp timestamp",
+    )
+    got = kafka_value_projection(raw).collect()
+    assert [r["ts"] for r in got[:2]] == [100, 101]
+    assert [r["op"] for r in got[:2]] == ["i", "d"]
+    assert got[0]["ns"] == "chat.transcripts"
+    assert _json.loads(got[0]["doc"])["conv_id"] == "c0"
+    assert got[2]["op"] is None and got[2]["ts"] is None  # bad JSON → NULLs
+    # same field names/types as the file source's envelope (from_json
+    # makes everything nullable, so nullability is not compared)
+    from py_mongo_sync_spark.schema import OPLOG_SCHEMA
+    got_schema = kafka_value_projection(raw).schema
+    assert [(f.name, f.dataType) for f in got_schema.fields] == [
+        (f.name, f.dataType) for f in OPLOG_SCHEMA.fields
+    ]

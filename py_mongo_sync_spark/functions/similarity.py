@@ -52,6 +52,7 @@ def minhash_candidate_pairs(
     n_hashes: int = 32,
     bands: int = 8,
     k: int = 5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs agreeing on ALL rows of any band become a candidate
     pair. Cost profile at scale: shingles explode once, ONE xxhash64 per
@@ -90,12 +91,45 @@ def minhash_candidate_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bhash")
+    ).select("_id", "bb.band", F.col("bb.bhash").alias("bkey"))
+    return _banded_pairs(banded, max_bucket)
+
+
+def _banded_pairs(banded: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Self-join band-bucket rows → (doc_a, doc_b, n_bands_matched).
+    ``max_bucket`` guards mega-buckets: a near-identical boilerplate
+    cluster of c docs would otherwise emit O(c²) pairs from ONE bucket
+    (at web scale single buckets hold 10⁵+ docs); oversized buckets emit
+    member↔bucket-min representative edges instead — O(c), connectivity
+    preserved for downstream clustering (operators/neardup.py verifies and
+    clusters; its capped_candidate_pairs also returns the overflow stats).
+    None = uncapped (the oracle-parity shape)."""
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "bkey").agg(
+            F.count(F.lit(1)).alias("_n"), F.min("_id").alias("_rep")
+        )
+        tagged = banded.join(sizes, ["band", "bkey"])
+        small = tagged.where(F.col("_n") <= max_bucket)
+        a, b = small.alias("a"), small.alias("b")
+        small_pairs = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a._id") < F.col("b._id")),
+        ).select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        big_pairs = tagged.where(
+            (F.col("_n") > max_bucket) & (F.col("_id") != F.col("_rep"))
+        ).select(F.col("_rep").alias("doc_a"), F.col("_id").alias("doc_b"))
+        return (
+            small_pairs.unionByName(big_pairs)
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+        )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = a.join(
         b,
         (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.bhash") == F.col("b.bhash"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
         & (F.col("a._id") < F.col("b._id")),
     )
     return (
@@ -165,10 +199,12 @@ def minhash_candidate_pairs_md5(
     n_hashes: int = 16,
     bands: int = 8,
     k: int = 5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding over the md5 signature; band key = the concatenated
     band rows themselves (no extra hash → byte-identical across engines).
-    Same shuffle shape as :func:`minhash_candidate_pairs`."""
+    Same shuffle shape (and same ``max_bucket`` mega-bucket guard) as
+    :func:`minhash_candidate_pairs`."""
     rows_per_band = n_hashes // bands
     sig = minhash_signatures_md5(df, id_col, text_col, n_hashes, k)
     banded = sig.select(
@@ -191,17 +227,7 @@ def minhash_candidate_pairs_md5(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bkey")
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.bkey") == F.col("b.bkey"))
-        & (F.col("a._id") < F.col("b._id")),
-    )
-    return (
-        pairs.groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
-        .agg(F.count("*").alias("n_bands_matched"))
-    )
+    return _banded_pairs(banded, max_bucket)
 
 
 def simhash_fingerprints_md5(

@@ -87,6 +87,7 @@ def gen_oplog_events(
     evolve_after: int | None = None,
     ns_main: str = "chat.transcripts",
     ns_extra: list[tuple[str, int]] | None = None,
+    patch_mix: str = "set,unset,inc",
 ) -> DataFrame:
     """Oplog-style change events ``{ts, op, ns, doc}`` (FIXTURES.md §2).
 
@@ -164,11 +165,16 @@ def gen_oplog_events(
         '{"conv_id": "%s", "turn_idx": %d, "$inc": {"score": %d}}',
         conv, turn, F.pmod(_h(seq, F.lit("inc"), F.lit(seed)), F.lit(9)) - 4,
     )
-    patch_doc = (
-        F.when(patch_kind < 3, set_doc)
-        .when(patch_kind < 4, unset_doc)
-        .otherwise(inc_doc)
-    )
+    if patch_mix == "set":
+        # round-1 fixture mix (every patch a $set) — kept selectable so
+        # bench regressions can be attributed to workload vs code changes
+        patch_doc = set_doc
+    else:
+        patch_doc = (
+            F.when(patch_kind < 3, set_doc)
+            .when(patch_kind < 4, unset_doc)
+            .otherwise(inc_doc)
+        )
     key_doc = F.to_json(F.struct(conv.alias("conv_id"), turn.alias("turn_idx")))
     cmd_doc = F.lit(json.dumps({"cmd": "collMod"}))
 

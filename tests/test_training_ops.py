@@ -80,6 +80,19 @@ def test_minhash_bands_can_partially_match(spark, docs):
     assert len(orders) > 1, "all seeds rank docs identically — degenerate family"
 
 
+def test_minhash_pairs_mega_bucket_cap(spark):
+    """max_bucket on the pair generators: a 25-doc identical cluster emits
+    24 representative edges instead of C(25,2)=300 pairs; below the cap
+    the full pair set is unchanged."""
+    rows = [(i, "same boilerplate everywhere " * 3) for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = minhash_candidate_pairs(df, "doc_id", "text", max_bucket=8)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert got == {(0, i) for i in range(1, 25)}
+    uncapped = minhash_candidate_pairs(df, "doc_id", "text", max_bucket=64)
+    assert uncapped.count() == 300
+
+
 def test_minhash_signature_deterministic(spark, docs):
     a = docs.select(minhash_signature("text").alias("s")).collect()
     b = docs.select(minhash_signature("text").alias("s")).collect()

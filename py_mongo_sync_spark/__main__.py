@@ -134,11 +134,6 @@ def _run_multi(spark, cfg, extras, args) -> int:
     from py_mongo_sync_spark.sources.oplog import read_oplog_stream
     from py_mongo_sync_spark.streaming.pipeline import MultiCdcPipeline
 
-    if args.resume:
-        print("error: --resume is not supported with --multi yet "
-              "(per-table watermarks differ); use --start-optime",
-              file=sys.stderr)
-        return 2
     ns_list = _catalog_namespaces(spark, cfg, extras)
     if not ns_list:
         print(json.dumps({"stage": "DONE", "note": "no namespaces in catalog"}))
@@ -156,9 +151,19 @@ def _run_multi(spark, cfg, extras, args) -> int:
     if not extras["events_path"]:
         print(json.dumps({"stage": "DONE", "note": "no [src] events_path"}))
         return 0
+    start_optime = args.start_optime
+    if args.resume:
+        # resume from the MINIMUM per-table watermark + 1: tables already
+        # past that point replay idempotently (batch-id + monotone-ts
+        # guards), tables at it lose nothing — the conservative multi-table
+        # generalization of the single-table --resume
+        wms = [p.cplog.high_watermark() for p in multi.pipes.values()]
+        wms = [w for w in wms if w is not None]
+        start_optime = (min(wms) + 1) if len(wms) == len(multi.pipes) else None
+        print(json.dumps({"stage": "RESUME", "start_optime": start_optime}))
     stream = read_oplog_stream(
         spark, extras["events_path"],
-        start_optime=(args.start_optime if args.start_optime is not None
+        start_optime=(start_optime if start_optime is not None
                       else extras.get("start_optime")),
         fmt=extras["events_format"],
     )

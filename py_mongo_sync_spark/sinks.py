@@ -247,6 +247,43 @@ class SearchDocSink:
         }
 
 
+    def expire_versions(self, keep: int = 3) -> int:
+        """Storage lifecycle (the lake's ``expire_versions`` analogue): a
+        continuous stream creates one index version per batch, but each new
+        version only REWRITES the touched buckets — untouched buckets stay
+        referenced from older version dirs. Drop bucket directories not
+        referenced by any of the newest ``keep`` metas; returns files
+        removed."""
+        import shutil
+
+        if not self.exists():
+            return 0
+        latest = self._meta()["version"]
+        referenced: set[str] = set()
+        for v in range(max(1, latest - keep + 1), latest + 1):
+            try:
+                with open(self._meta_path(v)) as f:
+                    m = json.load(f)
+            except FileNotFoundError:
+                continue
+            for b, ver in m.get("buckets", {}).items():
+                if ver is not None:
+                    referenced.add(self._bucket_dir(ver, int(b)))
+        removed = 0
+        root = os.path.join(self.path, "index")
+        if os.path.isdir(root):
+            for vdir in sorted(os.listdir(root)):
+                full = os.path.join(root, vdir)
+                for bdir in list(os.listdir(full)):
+                    bfull = os.path.join(full, bdir)
+                    if bdir.startswith(f"{_SB}=") and bfull not in referenced:
+                        removed += sum(len(fs) for _, _, fs in os.walk(bfull))
+                        shutil.rmtree(bfull, ignore_errors=True)
+                if not os.listdir(full):
+                    os.rmdir(full)
+        return removed
+
+
 class SearchSyncPipeline:
     """CdcPipeline with the search-document sink in place of the lake — the
     dispatch analogue of ``sync.py:25-34`` picking EsSyncer over
@@ -274,7 +311,11 @@ class SearchSyncPipeline:
         source = folded.withColumn(
             "ts", F.timestamp_seconds(F.lit(FIXTURE_EPOCH) + F.col("ts"))
         )
-        return self.sink.apply_net_events(source, batch_id)
+        res = self.sink.apply_net_events(source, batch_id)
+        if (not res.get("skipped") and self.cfg.expire_every
+                and (batch_id + 1) % self.cfg.expire_every == 0):
+            res["expired_files"] = self.sink.expire_versions(self.cfg.keep_versions)
+        return res
 
     def read(self) -> DataFrame:
         return self.sink.read()

@@ -224,3 +224,7 @@ db = "logs"
     t = LakeTable(spark, str(tmp_path / "lakes" / "chat__transcripts"))
     exp = oracle_replay(empty, ev_pdf, dst_ns="chat.transcripts")
     assert t.read().count() == len(exp)
+
+    # --resume resolves the min cross-table watermark and changes nothing
+    assert main(["-f", conf, "--cores", "8", "--multi", "--resume"]) == 0
+    assert t.read().count() == len(exp)

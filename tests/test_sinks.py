@@ -141,3 +141,25 @@ def test_search_sink_delete_empties_bucket(spark, tmp_path):
     res = pipe.apply_batch(ev, 0)
     assert not res["skipped"]
     assert pipe.read().count() == 0
+
+
+def test_search_sink_expires_unreferenced_bucket_versions(spark, tmp_path):
+    """Continuous streams must not grow index storage unboundedly: expired
+    versions drop bucket dirs no recent meta references, while buckets a
+    recent meta still points at (even in OLD version dirs) survive."""
+    import os
+
+    cfg = SyncConfig(dst_path=str(tmp_path / "index"),
+                     checkpoint_path=str(tmp_path / "cp"), n_buckets=4,
+                     keep_versions=2, expire_every=2)
+    pipe = SearchSyncPipeline(spark, cfg)
+    pipe.initial_sync(gen_transcripts_snapshot(spark, 12, 3))
+    ev = gen_oplog_events(spark, 12, 3, 120)
+    stats = [pipe.apply_batch(ev.where(f"ts % 4 = {i}"), i) for i in range(4)]
+    assert any(s.get("expired_files", 0) > 0 for s in stats)
+    # current state fully readable: every live bucket pointer resolves
+    m = pipe.sink._meta()
+    for b, ver in m["buckets"].items():
+        if ver is not None:
+            assert os.path.isdir(pipe.sink._bucket_dir(ver, int(b))), (b, ver)
+    assert pipe.read().count() > 0

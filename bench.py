@@ -302,8 +302,8 @@ def run_headline_queries(spark) -> dict[str, float]:
     names = [
         "cdc_net_state", "lww_latest_per_user", "q1_pricing_summary",
         "q3_shipping_priority", "region_rollup", "dedup_exact",
-        "text_quality", "minhash_neardup", "simhash_fingerprint",
-        "ann_cosine_topk",
+        "text_quality", "minhash_neardup", "neardup_clusters",
+        "simhash_fingerprint", "ann_cosine_topk",
     ]
     qs = entrymod.queries()
     out = {}

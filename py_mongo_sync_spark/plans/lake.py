@@ -73,6 +73,13 @@ _BSEQ = "_batch_seq"
 MERGE_META_COLS = (_OP, _PATCH, _UNSET, _INC)
 
 
+class CommitConflict(RuntimeError):
+    """A concurrent writer committed the version this commit targeted
+    (optimistic-concurrency loss — e.g. a zombie driver racing its
+    replacement). The table state is the OTHER writer's commit; the caller
+    must re-read the manifest and re-run its merge against it."""
+
+
 class HintViolation(RuntimeError):
     """A MERGE wrote rows into a bucket outside the caller-supplied
     changed-bucket hint set. Trusting the hint would wholesale replace that
@@ -204,16 +211,41 @@ class LakeTable:
         return set(self._committed_state(self.manifest())[1])
 
     def _commit(self, manifest: dict) -> None:
-        """Atomic commit: manifest file first, then pointer swap. A crash
-        between the two leaves the table at the old version — the orphan
-        manifest/data files are harmless and re-writable."""
+        """Optimistic atomic commit (Iceberg-style): the version-numbered
+        manifest file is claimed with O_CREAT|O_EXCL — exactly one writer
+        can create ``v{N}.json`` — then the pointer swaps. Scenarios:
+
+        - crash between claim and swap: pointer stays at the old version;
+          the orphan manifest is detected on the next commit (pointer did
+          not advance) and skipped by taking the next version number —
+          orphans stay harmless.
+        - concurrent second writer (zombie driver after failover, the
+          classic dual-committer case): it loses the claim AND observes the
+          pointer advanced → ``CommitConflict`` instead of silently
+          overwriting the winner's manifest (previous behavior lost one of
+          the two commits).
+        """
         os.makedirs(self._versions_dir, exist_ok=True)
         version = manifest["version"]
-        mpath = os.path.join(self._versions_dir, f"v{version:08d}.json")
-        tmp = mpath + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
+        while True:
+            mpath = os.path.join(self._versions_dir, f"v{version:08d}.json")
+            try:
+                fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                latest = self.latest_version() if self.exists() else 0
+                if latest >= version:
+                    raise CommitConflict(
+                        f"{self.path}: version {version} was committed by a "
+                        "concurrent writer (table now at "
+                        f"v{latest}) — re-read and retry the merge"
+                    )
+                # pointer never advanced to `version`: a crashed writer's
+                # orphan claim — skip over it
+                version += 1
+        manifest = dict(manifest, version=version)
+        with os.fdopen(fd, "w") as f:
             json.dump(manifest, f)
-        os.replace(tmp, mpath)
         ptmp = self._latest_ptr + f".tmp.{uuid.uuid4().hex}"
         with open(ptmp, "w") as f:
             f.write(str(version))

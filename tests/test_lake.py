@@ -209,3 +209,38 @@ def test_epoch_is_stable_per_checkpoint_dir(tmp_path):
     d1, d2 = str(tmp_path / "cp1"), str(tmp_path / "cp2")
     assert checkpoint_epoch(d1) == checkpoint_epoch(d1)
     assert checkpoint_epoch(d1) != checkpoint_epoch(d2)
+
+
+def test_commit_conflict_detected_not_lost(spark, tmp_path):
+    """Optimistic concurrency: two writers racing to the same version —
+    the loser gets CommitConflict instead of silently overwriting the
+    winner's manifest (dual-committer / zombie-driver case)."""
+    import pytest
+
+    from py_mongo_sync_spark.plans.lake import CommitConflict
+
+    t = _mk(spark, tmp_path, [("a", 0, "x", TS[0])])
+    t2 = LakeTable(spark, t.path)          # second handle = second writer
+    m1 = t.manifest()
+    m2 = t2.manifest()
+    t._commit(dict(m1, version=m1["version"] + 1, note="winner"))
+    with pytest.raises(CommitConflict):
+        t2._commit(dict(m2, version=m2["version"] + 1, note="loser"))
+    assert t.manifest()["note"] == "winner"  # winner's commit intact
+
+
+def test_commit_skips_crashed_writer_orphan(spark, tmp_path):
+    """A manifest claimed by a crashed writer (file exists, pointer never
+    advanced) must not wedge the table: the next commit skips over it."""
+    import json as _json
+    import os
+
+    t = _mk(spark, tmp_path, [("a", 0, "x", TS[0])])
+    v = t.latest_version()
+    orphan = os.path.join(t._versions_dir, f"v{v + 1:08d}.json")
+    with open(orphan, "w") as f:
+        _json.dump({"version": v + 1, "crashed": True}, f)
+    res = t.merge(_src(spark, [("a", 0, "x2", TS[1], "u", False)]), batch_id=1)
+    assert not res["skipped"]
+    assert t.latest_version() == v + 2     # orphan v+1 skipped, not wedged
+    assert t.read().first()["text"] == "x2"

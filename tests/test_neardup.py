@@ -118,3 +118,50 @@ def test_components_handle_chains_and_isolated(spark):
     got = {r["node"]: r["cluster_id"]
            for r in connected_components_min_label(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def random_edge_sets(draw):
+    n_nodes = draw(st.integers(min_value=2, max_value=24))
+    n_edges = draw(st.integers(min_value=0, max_value=30))
+    edges = [
+        tuple(sorted(draw(st.tuples(
+            st.integers(0, n_nodes - 1), st.integers(0, n_nodes - 1)))))
+        for _ in range(n_edges)
+    ]
+    return [(a, b) for a, b in edges if a != b]
+
+
+@settings(
+    max_examples=4, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(random_edge_sets())
+def test_components_match_union_find_on_random_graphs(spark, edges):
+    """Property: min-label propagation equals union-find on ANY edge set —
+    including duplicate edges, chains, cycles, and dense blobs."""
+    if not edges:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["node"]: r["cluster_id"]
+           for r in connected_components_min_label(df, max_rounds=10).collect()}
+    assert got == expect

@@ -72,7 +72,48 @@ class CheckpointLog:
     def read(self) -> DataFrame:
         if not self.exists():
             return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
-        return self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(self.path)
+        # dropDuplicates makes compaction crash-safe: a crash between the
+        # compacted-file rename and source deletion leaves rows duplicated
+        # once, which this collapses (keys are unique per commit by
+        # construction)
+        return (
+            self.spark.read.schema(CHECKPOINT_SCHEMA)
+            .parquet(self.path)
+            .dropDuplicates(["batch_id", "partition_id"])
+        )
+
+    def compact(self, min_files: int = 256, keep_recent: int = 8) -> int:
+        """File-count lifecycle: appends create one small parquet file per
+        batch — 10^6 microbatches would mean 10^6 files and an unusably
+        slow ``read()``. When ≥ ``min_files`` per-batch files have
+        accumulated, merge all but the newest ``keep_recent`` into one
+        ``compacted-*`` file (driver-side pyarrow; lineage rows preserved
+        exactly). Compacted files are never re-merged — file count grows
+        as N/min_files, no quadratic rewrite. Crash-safe: the merged file
+        is renamed in before sources are deleted, and ``read()`` dedups.
+        Returns number of files merged."""
+        import pyarrow.parquet as pq
+
+        if not os.path.isdir(self.path):
+            return 0
+        batch_files = sorted(
+            f for f in os.listdir(self.path)
+            if f.startswith("batch-") and f.endswith(".parquet")
+        )
+        victims = batch_files[:-keep_recent] if keep_recent else batch_files
+        if len(victims) < min_files:
+            return 0
+        import pyarrow as pa
+
+        tables = [pq.read_table(os.path.join(self.path, f)) for f in victims]
+        merged = pa.concat_tables(tables)
+        final = os.path.join(self.path, f"compacted-{uuid.uuid4().hex}.parquet")
+        tmp = final + ".tmp"
+        pq.write_table(merged, tmp)
+        os.replace(tmp, final)
+        for f in victims:
+            os.remove(os.path.join(self.path, f))
+        return len(victims)
 
     def high_watermark(self) -> int | None:
         """Resume point: max applied ts across all committed batches

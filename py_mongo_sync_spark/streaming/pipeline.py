@@ -591,6 +591,9 @@ class CdcPipeline:
                 and batch_id % self.cfg.expire_every == 0
             ):
                 res["expired_files"] = self.table.expire_versions(self.cfg.keep_versions)
+                # same cadence for the checkpoint log's file count (one
+                # per-batch file otherwise accumulates forever)
+                res["compacted_cp_files"] = self.cplog.compact()
 
         res.update(
             n_events=n_events if n_events is not None else probe["n_events"],

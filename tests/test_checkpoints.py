@@ -92,3 +92,29 @@ def test_progress_listener_records_batches(spark, tmp_path):
         assert all("durationMs" in r for r in prog)
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_checkpoint_log_compaction(spark, tmp_path):
+    """10^6 microbatches = 10^6 per-batch files without compaction; merging
+    must preserve every lineage row, the watermark, and be idempotent."""
+    import os
+
+    from py_mongo_sync_spark.plans.checkpoints import CheckpointLog
+
+    log = CheckpointLog(spark, str(tmp_path / "cp"))
+    for b in range(300):
+        log.append([{"batch_id": b, "partition_id": p, "max_ts": 1000 + b,
+                     "n_events": 5, "wall_ms": 1, "committed_at_seq": b}
+                    for p in range(2)])
+    files_before = len(os.listdir(str(tmp_path / "cp")))
+    assert files_before == 300
+
+    merged = log.compact(min_files=256, keep_recent=8)
+    assert merged == 292
+    files_after = len([f for f in os.listdir(str(tmp_path / "cp"))
+                       if f.endswith(".parquet")])
+    assert files_after == 9                      # 1 compacted + 8 recent
+
+    assert log.read().count() == 600             # every lineage row intact
+    assert log.high_watermark() == 1299
+    assert log.compact(min_files=256, keep_recent=8) == 0   # idempotent

@@ -308,6 +308,50 @@ def q_sessionize_events(spark, sf):
     )
 
 
+def q_sessionize_stream_stateful(spark, sf):
+    """The STATEFUL-STREAMING sessionization (applyInPandasWithState,
+    py_mongo_sync_spark/streaming/sessionize.py) run availableNow over the
+    events table: closed sessions + each user's final open snapshot =
+    exactly the batch gap-sessionization, so the stateful state-store path
+    gets a full SQL oracle."""
+    import tempfile
+    import uuid
+
+    from py_mongo_sync_spark.streaming.sessionize import sessionize_stream
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, "
+                                "event_type string, value double, props string")
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf)
+        .select("user_id", F.col("ts").cast("timestamp_ltz").cast("long").alias("ts"))
+    )
+    name = f"sess_{uuid.uuid4().hex[:12]}"
+    q = (
+        sessionize_stream(stream, gap=1800)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sess_cp_"))
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name)
+    closed = rows.where("closed")
+    open_last = (
+        rows.where("NOT closed")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.col("session_end").desc())
+            ),
+        )
+        .where("_rn = 1").drop("_rn")
+    )
+    return (
+        closed.unionByName(open_last)
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
 def q_value_percentiles(spark, sf):
     """Exact percentiles per group (sort-based aggregate)."""
     ev = _t(spark, sf, "events")
@@ -499,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_label_norms": q_embedding_label_norms,
         "sessionize_events": q_sessionize_events,
+        "sessionize_stream_stateful": q_sessionize_stream_stateful,
         "value_percentiles": q_value_percentiles,
         "rollup_lineitem": q_rollup_lineitem,
         "pivot_event_counts": q_pivot_event_counts,
@@ -668,6 +713,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM sess GROUP BY user_id
+        """,
+        "sessionize_stream_stateful": """
+            WITH marked AS (
+                -- floor(): Spark's timestamp->long cast truncates fractional
+                -- seconds, DuckDB's epoch()::BIGINT would round
+                SELECT user_id, floor(epoch(ts))::BIGINT AS t,
+                       CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                                 OR lag(ts) OVER w IS NULL
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, t,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM marked
+            )
+            SELECT user_id, min(t) AS session_start, max(t) AS session_end,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, session_id
         """,
         "value_percentiles": """
             SELECT event_type,

@@ -1,0 +1,91 @@
+"""Custom stateful streaming operator: gap-based sessionization via
+``applyInPandasWithState``.
+
+The engine's CDC apply path deliberately lives in ``foreachBatch`` (it
+needs its own MERGE transaction per microbatch); this module is the
+complementary Spark-native stateful shape — per-key state carried by the
+engine's state store across microbatches, Arrow-batched pandas kernels,
+no per-row Python — for operators whose state is cheap per key and whose
+output is append/update rows rather than a table MERGE. Sessionization
+over the events table is the canonical example (the batch equivalent is
+the driver query ``sessionize_events``: a lag/window expression).
+
+State per user: the open session (start, end, n_events). A new event
+extends the open session when within ``gap`` seconds of its end, else
+closes it (emitted with ``closed=true``) and opens a new one. Each batch
+also emits the open session's snapshot (``closed=false``) so downstream
+sees live progress; the final snapshot per user equals the batch
+sessionization's last session.
+
+Delivery contract matches the CDC source: microbatches arrive in ts
+order (file stream with stamped mtimes / Kafka per-partition order);
+within a batch events are sorted by ts inside the kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+SESSION_OUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.LongType()),
+    T.StructField("session_end", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("closed", T.BooleanType()),
+])
+
+_STATE = T.StructType([
+    T.StructField("start", T.LongType()),
+    T.StructField("end", T.LongType()),
+    T.StructField("n", T.LongType()),
+])
+
+
+def _session_kernel(gap: int):
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        ts = pd.concat([p["ts"] for p in pdfs]).sort_values().to_numpy()
+        if len(ts) == 0:
+            return
+        cur = state.get if state.exists else None  # (start, end, n)
+        out = []
+        for t in ts:
+            t = int(t)
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] <= gap:
+                cur = (cur[0], max(cur[1], t), cur[2] + 1)
+            else:
+                out.append((user_id, cur[0], cur[1], cur[2], True))
+                cur = (t, t, 1)
+        state.update(cur)
+        out.append((user_id, cur[0], cur[1], cur[2], False))  # live snapshot
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "session_start", "session_end", "n_events", "closed"],
+        )
+
+    return fn
+
+
+def sessionize_stream(events: DataFrame, gap: int = 1800) -> DataFrame:
+    """events(user_id long, ts long) stream → session rows. Shuffles once
+    on user_id into the state store's partitioning; the kernel is
+    Arrow-batched (one pandas frame per user per batch, never per-row)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _session_kernel(gap),
+        outputStructType=SESSION_OUT,
+        stateStructType=_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

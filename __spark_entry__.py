@@ -486,6 +486,17 @@ def q_simhash_neardup_pairs(spark, sf):
     return hamming_neardup_pairs(sigs, "doc_id", "simhash48", max_hamming=3, bits=48)
 
 
+def q_embedding_cosine_neardup(spark, sf):
+    """Embedding-cosine near-dup pairs: LSH-bucket candidates + exact
+    cosine >= 0.4 verify (functions/similarity.py::cosine_neardup_pairs);
+    DuckDB oracle rebuilds the identical md5-weight buckets + cosine."""
+    from py_mongo_sync_spark.functions.similarity import cosine_neardup_pairs
+
+    e = _t(spark, sf, "embeddings")
+    return cosine_neardup_pairs(e, threshold=0.4, n_planes=6, dim=64,
+                                weight_mode="md5")
+
+
 def q_ann_lsh_bucketed(spark, sf):
     from py_mongo_sync_spark.functions.similarity import ann_bucketed_topk
 
@@ -554,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprint": q_simhash_fingerprint,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
+        "embedding_cosine_neardup": q_embedding_cosine_neardup,
         "quality_scores": q_quality_scores,
         "lang_id_heuristic": q_lang_id_heuristic,
         "multimodal_binary_meta": q_multimodal_binary_meta,
@@ -1001,10 +1013,23 @@ def _hash_parity_oracles() -> dict[str, str]:
         ORDER BY {cos} DESC, vec_id
         LIMIT 10
     """
+    # --- embedding-cosine near-dup: same md5 hyperplane buckets, exact
+    # cosine >= 0.4 verification on within-bucket candidate pairs only
+    cosv = ("list_dot_product(a.e, b2.e) / (sqrt(list_dot_product(a.e, a.e))"
+            " * sqrt(list_dot_product(b2.e, b2.e)))")
+    cos_neardup = f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        bk AS (SELECT vec_id, e, {bucket('e')} AS bkt FROM v)
+        SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+               round({cosv}, 4) AS cos_sim
+        FROM bk a JOIN bk b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id
+        WHERE {cosv} >= 0.4
+    """
     return {
         "simhash_fingerprint": simhash,
         "simhash_neardup_pairs": simhash_pairs,
         "minhash_neardup": minhash,
         "neardup_clusters": neardup_clusters_sql,
         "ann_lsh_bucketed": ann,
+        "embedding_cosine_neardup": cos_neardup,
     }

@@ -467,6 +467,40 @@ def lsh_hyperplane_buckets(
     return emb.select(F.col(id_col), F.col(vec_col), bucket.cast("int").alias("bucket"))
 
 
+def cosine_neardup_pairs(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.4, n_planes: int = 6, dim: int = 64,
+    weight_mode: str = "xxhash",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector-space member of
+    the dedup family (exact / MinHash / SimHash / n-gram / THIS): vectors
+    sharing an LSH hyperplane bucket are candidates (1/2^n_planes of the
+    pair space — never all-pairs), then exact cosine ≥ ``threshold``
+    verifies. Same candidate-then-verify shape as the text near-dup path;
+    recall is bucket-limited exactly like single-probe ANN (borderline
+    pairs split by a hyperplane are the loss — raise recall by lowering
+    ``n_planes`` or unioning plane-flip bucket variants).
+    Rows: (vec_a, vec_b, cos_sim)."""
+    buckets = lsh_hyperplane_buckets(emb, id_col, vec_col, n_planes, dim, weight_mode)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    da = F.transform(F.col(f"a.{vec_col}"), lambda x: x.cast("double"))
+    db = F.transform(F.col(f"b.{vec_col}"), lambda x: x.cast("double"))
+    cos = cosine_sim(da, db)
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(cos >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.round(cos, 4).alias("cos_sim"),
+        )
+    )
+
+
 def ann_bucketed_topk(
     emb: DataFrame, query_vec: DataFrame, id_col: str = "vec_id",
     vec_col: str = "embedding", k: int = 10, n_planes: int = 8, dim: int = 64,

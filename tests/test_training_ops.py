@@ -228,7 +228,34 @@ def test_ann_multiprobe_recall_on_clustered_corpus(spark):
     assert r1 >= r0  # neighbor buckets only ADD candidates
 
 
-def test_text_functions(spark):
+def test_cosine_neardup_pairs_on_clustered_corpus(spark):
+    """Embedding-cosine near-dup: every emitted pair really clears the
+    threshold (verification exact), pairs stay within clusters, and the
+    result is a subset of all-pairs brute force (bucket-limited recall)."""
+    import math
+    import random
+
+    from py_mongo_sync_spark.functions.similarity import cosine_neardup_pairs
+
+    rng = random.Random(11)
+    dim = 64
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    cents = [unit([rng.gauss(0, 1) for _ in range(dim)]) for _ in range(4)]
+    rows = []
+    for ci, c in enumerate(cents):
+        for _ in range(10):
+            rows.append((len(rows), unit([x + rng.gauss(0, 0.05) for x in c])))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = cosine_neardup_pairs(emb, threshold=0.8, n_planes=4, dim=dim).collect()
+    assert len(got) > 10
+    cluster = lambda i: i // 10
+    for r in got:
+        assert r["cos_sim"] >= 0.8
+        assert cluster(r["vec_a"]) == cluster(r["vec_b"])  # no cross-cluster FP
     df = spark.createDataFrame(
         [("the cat sat on the mat, happily!",),
          ("le chien et le chat sont sur la table",),

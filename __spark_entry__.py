@@ -529,6 +529,19 @@ def q_multimodal_binary_meta(spark, sf):
     return extract_binary_metadata(d, binary_col="payload", id_col="doc_id")
 
 
+def q_multimodal_feature_extract(spark, sf):
+    """Binary → feature-vector plumbing (the CLIP/wav2vec slot) through
+    mapInPandas, hash-verified end-to-end: the fake kernel's md5-derived
+    components are rebuilt identically by the DuckDB oracle."""
+    from py_mongo_sync_spark.functions.multimodal import extract_features
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return extract_features(d, binary_col="payload", id_col="doc_id",
+                            dim=8, fake=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # CDC semantics (SURVEY §2: K3/K4, H2/H3, A4, P3, P5, P7, A1)
@@ -569,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_id_heuristic": q_lang_id_heuristic,
         "multimodal_binary_meta": q_multimodal_binary_meta,
+        "multimodal_feature_extract": q_multimodal_feature_extract,
     }
 
 
@@ -856,6 +870,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(64 + (bsum % 193) AS INT) AS width,
                    CAST(64 + ((bsum * 7) % 131) AS INT) AS height
             FROM s
+        """,
+        "multimodal_feature_extract": """
+            WITH h AS (
+                SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents
+            )
+            SELECT doc_id,
+                   ((('0x' || substr(md5(hx || ',0'), 1, 8))::BIGINT % 2001) - 1000) / 1000.0 AS f0,
+                   ((('0x' || substr(md5(hx || ',1'), 1, 8))::BIGINT % 2001) - 1000) / 1000.0 AS f1,
+                   ((('0x' || substr(md5(hx || ',2'), 1, 8))::BIGINT % 2001) - 1000) / 1000.0 AS f2,
+                   ((('0x' || substr(md5(hx || ',3'), 1, 8))::BIGINT % 2001) - 1000) / 1000.0 AS f3,
+                   ((('0x' || substr(md5(hx || ',4'), 1, 8))::BIGINT % 2001) - 1000) / 1000.0 AS f4,
+                   ((('0x' || substr(md5(hx || ',5'), 1, 8))::BIGINT % 2001) - 1000) / 1000.0 AS f5,
+                   ((('0x' || substr(md5(hx || ',6'), 1, 8))::BIGINT % 2001) - 1000) / 1000.0 AS f6,
+                   ((('0x' || substr(md5(hx || ',7'), 1, 8))::BIGINT % 2001) - 1000) / 1000.0 AS f7
+            FROM h
         """,
         **_hash_parity_oracles(),
     }

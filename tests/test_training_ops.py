@@ -301,3 +301,41 @@ def test_multimodal_binary_plumbing(spark):
     # the real decode is stubbed, loudly
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_multimodal_resize_and_feature_extract(spark):
+    from py_mongo_sync_spark.functions.multimodal import (
+        extract_features,
+        resize_image,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (f"payload {i} " * 50).encode()) for i in range(6)],
+        "doc_id long, payload binary",
+    )
+    # resize: exact output byte size, deterministic, stub loud without fake
+    rz = {r["doc_id"]: r for r in
+          resize_image(df, "payload", "doc_id", 16, 16, fake=True).collect()}
+    assert all(len(r["resized"]) == 256 for r in rz.values())
+    assert all(r["width"] == 16 and r["height"] == 16 for r in rz.values())
+    with pytest.raises(NotImplementedError):
+        resize_image(df, "payload", "doc_id")
+
+    # feature extract: dim columns in [-1, 1], deterministic, feeds ANN
+    feats = extract_features(df, "payload", "doc_id", dim=8, fake=True)
+    rows = {r["doc_id"]: [r[f"f{i}"] for i in range(8)] for r in feats.collect()}
+    assert len(rows) == 6
+    assert all(-1.0 <= x <= 1.0 for v in rows.values() for x in v)
+    again = {r["doc_id"]: [r[f"f{i}"] for i in range(8)]
+             for r in extract_features(df, "payload", "doc_id", dim=8, fake=True).collect()}
+    assert rows == again
+    # composition: extracted features flow into the exact ANN operator
+    from pyspark.sql import functions as F
+
+    emb = feats.select("doc_id", F.array(*[f"f{i}" for i in range(8)]).alias("embedding"))
+    top = brute_force_topk(emb.where("doc_id <> 0"),
+                           emb.where("doc_id = 0").select("embedding"),
+                           id_col="doc_id", k=3).collect()
+    assert len(top) == 3
+    with pytest.raises(NotImplementedError):
+        extract_features(df, "payload", "doc_id")

@@ -152,6 +152,10 @@ def connected_components_min_label(
         .withColumn("label", F.col("node"))
     )
     sym = sym.persist()
+    # labels only ever DECREASE, so sum(label) is a strictly-monotone
+    # fixpoint detector: convergence ⇔ the sum stops falling — one cheap
+    # aggregate per round instead of a join against the previous labels
+    prev_sum = None
     try:
         for rnd in range(max_rounds):
             labels = labels.persist()
@@ -183,14 +187,12 @@ def connected_components_min_label(
                     )
                 )
             new = hop.persist()
-            changed = (
-                new.alias("n").join(labels.alias("o"), "node")
-                .where(F.col("n.label") != F.col("o.label")).count()
-            )
+            cur_sum = new.agg(F.sum("label")).first()[0]
             labels.unpersist()
             labels = new
-            if changed == 0:
+            if prev_sum is not None and cur_sum == prev_sum:
                 return labels.select("node", F.col("label").alias("cluster_id"))
+            prev_sum = cur_sum
         raise RuntimeError(
             f"connected components did not converge in {max_rounds} rounds"
         )

@@ -872,6 +872,41 @@ class LakeTable:
             deltas={},
         ))
 
+    def history(self) -> DataFrame:
+        """Version history as a DataFrame (the Iceberg ``table.history()``
+        inspection analogue): one row per manifest version with its commit
+        metadata — time-travel targets, batch bookkeeping, schema width,
+        and file counts. Driver-side directory listing of small JSONs; no
+        Spark job until the caller acts on the frame."""
+        rows = []
+        if os.path.isdir(self._versions_dir):
+            for name in sorted(os.listdir(self._versions_dir)):
+                if not (name.startswith("v") and name.endswith(".json")):
+                    continue
+                try:
+                    with open(os.path.join(self._versions_dir, name)) as f:
+                        m = json.load(f)
+                except (json.JSONDecodeError, OSError):
+                    continue  # crashed writer's partial claim
+                rows.append({
+                    "version": int(m.get("version", int(name[1:-5]))),
+                    "epoch": m.get("epoch"),
+                    "max_batch_id": m.get("max_batch_id"),
+                    "n_buckets": m.get("n_buckets"),
+                    "n_columns": len(m.get("columns", [])),
+                    "n_data_files": sum(len(v) for v in m.get("buckets", {}).values()),
+                    "n_delta_files": sum(len(v) for v in m.get("deltas", {}).values()),
+                    "write_mode": m.get("write_mode", "cow"),
+                    "is_latest": False,
+                })
+        latest = self.latest_version() if self.exists() else None
+        for r in rows:
+            r["is_latest"] = r["version"] == latest
+        schema = ("version int, epoch string, max_batch_id long, "
+                  "n_buckets int, n_columns int, n_data_files int, "
+                  "n_delta_files int, write_mode string, is_latest boolean")
+        return self.spark.createDataFrame(rows, schema)
+
     def rename_to(self, new_path: str) -> None:
         """Metadata-level table move (the lake analogue of the reference's
         replayed renameCollection command, mongo/handler.py:156-163, and of

@@ -244,3 +244,21 @@ def test_commit_skips_crashed_writer_orphan(spark, tmp_path):
     assert not res["skipped"]
     assert t.latest_version() == v + 2     # orphan v+1 skipped, not wedged
     assert t.read().first()["text"] == "x2"
+
+
+def test_history_inspection(spark, tmp_path):
+    """history() lists every version with commit metadata, marks the
+    latest, and tolerates a crashed writer's partial manifest."""
+    t = _mk(spark, tmp_path, [("a", 0, "x", TS[0])])
+    t.merge(_src(spark, [("a", 0, "x2", TS[1], "u", False)]), batch_id=1)
+    t.merge(_src(spark, [("b", 1, "y", TS[2], "u", False)]), batch_id=2)
+    # partial manifest from a crashed writer: ignored, not fatal
+    import os
+    with open(os.path.join(t._versions_dir, "v99999999.json"), "w") as f:
+        f.write("{not json")
+    h = {r["version"]: r for r in t.history().collect()}
+    assert set(h) == {1, 2, 3}
+    assert h[3]["is_latest"] and not h[1]["is_latest"]
+    assert h[3]["max_batch_id"] == 2 and h[2]["max_batch_id"] == 1
+    assert h[1]["n_columns"] == 4 and h[1]["write_mode"] == "cow"
+    assert h[3]["n_data_files"] > 0

@@ -52,6 +52,11 @@ class SearchDocSink:
         self.key_cols = key_cols
         self.ts_col = ts_col
         self.n_buckets = n_buckets
+        #: stream-instance identity, same contract as LakeTable.epoch: a
+        #: fresh streaming checkpoint restarts batch ids at 0, and without
+        #: the epoch the below-window replay rule would skip the new
+        #: stream's batches (the lake's r2 data-loss bug — same guard here)
+        self.epoch: str | None = None
 
     # ---------------------------------------------------------------- io
 
@@ -75,17 +80,24 @@ class SearchDocSink:
         if not self.exists():
             return False
         m = self._meta()
+        if (self.epoch is not None and m.get("epoch") is not None
+                and m["epoch"] != self.epoch):
+            return False  # new stream instance: ids restarted at 0
         recent = m.get("recent_batch_ids", [])
         return batch_id in recent or (bool(recent) and batch_id < min(recent))
 
     def _commit(self, version: int, schema_json: dict, batch_id: int | None,
                 buckets: dict[str, int | None]) -> None:
         prev = self._meta() if self.exists() else {"recent_batch_ids": []}
-        recent = list(prev.get("recent_batch_ids", []))
+        if (self.epoch is not None and prev.get("epoch") != self.epoch):
+            recent: list[int] = []  # new epoch: old ids are another sequence
+        else:
+            recent = list(prev.get("recent_batch_ids", []))
         if batch_id is not None:
             recent = sorted(set(recent) | {batch_id})[-64:]
         meta = {"version": version, "schema": schema_json,
                 "recent_batch_ids": recent,
+                "epoch": self.epoch if self.epoch is not None else prev.get("epoch"),
                 "n_buckets": self.n_buckets, "buckets": buckets}
         os.makedirs(os.path.dirname(self._meta_path(version)), exist_ok=True)
         tmp = self._meta_path(version) + f".tmp.{uuid.uuid4().hex}"
@@ -316,6 +328,28 @@ class SearchSyncPipeline:
                 and (batch_id + 1) % self.cfg.expire_every == 0):
             res["expired_files"] = self.sink.expire_versions(self.cfg.keep_versions)
         return res
+
+    def run_stream(self, events_stream: DataFrame, spark_checkpoint_dir: str,
+                   available_now: bool = True):
+        """Same streaming shape as CdcPipeline.run_stream, targeting the
+        search index; wires the checkpoint epoch so batch ids restarting
+        under a fresh checkpoint are never mistaken for replays."""
+        from py_mongo_sync_spark.streaming.pipeline import checkpoint_epoch
+
+        self.sink.epoch = checkpoint_epoch(spark_checkpoint_dir)
+        writer = (
+            events_stream.writeStream.foreachBatch(
+                lambda df, bid: self.apply_batch(df, bid)
+            )
+            .option("checkpointLocation", spark_checkpoint_dir)
+            .outputMode("update")
+        )
+        q = writer.trigger(availableNow=True).start() if available_now else (
+            writer.trigger(processingTime="1 second").start()
+        )
+        if available_now:
+            q.awaitTermination()
+        return q
 
     def read(self) -> DataFrame:
         return self.sink.read()

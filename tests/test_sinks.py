@@ -163,3 +163,45 @@ def test_search_sink_expires_unreferenced_bucket_versions(spark, tmp_path):
         if ver is not None:
             assert os.path.isdir(pipe.sink._bucket_dir(ver, int(b))), (b, ver)
     assert pipe.read().count() > 0
+
+
+def test_search_sink_epoch_guard_and_run_stream(spark, tmp_path):
+    """Same guard as the lake: a second event segment under a FRESH spark
+    checkpoint (batch ids restart at 0) must apply, not be skipped as a
+    replay — and same-epoch re-delivery stays idempotent."""
+    from py_mongo_sync_spark.sources.generate import write_events_jsonl
+    from py_mongo_sync_spark.sources.oplog import read_oplog_stream
+
+    cfg = SyncConfig(dst_path=str(tmp_path / "index"),
+                     checkpoint_path=str(tmp_path / "cp"), n_buckets=4)
+    pipe = SearchSyncPipeline(spark, cfg)
+    snap = gen_transcripts_snapshot(spark, 10, 3)
+    pipe.initial_sync(snap)
+
+    ev1 = gen_oplog_events(spark, 10, 3, 200)
+    write_events_jsonl(ev1, str(tmp_path / "ev1"), n_files=2)
+    pipe.run_stream(read_oplog_stream(spark, str(tmp_path / "ev1"),
+                                      max_files_per_trigger=1),
+                    str(tmp_path / "scp1"))
+    n1 = pipe.read().count()
+
+    # same checkpoint re-run: everything replays as committed (idempotent)
+    pipe.run_stream(read_oplog_stream(spark, str(tmp_path / "ev1"),
+                                      max_files_per_trigger=1),
+                    str(tmp_path / "scp1"))
+    assert pipe.read().count() == n1
+
+    # fresh checkpoint + second segment: batch ids restart at 0 but MUST
+    # apply under the new epoch
+    ev2 = gen_oplog_events(spark, 10, 3, 120, start_optime=10 * 3 + 1000 + 200,
+                           seed=5)
+    write_events_jsonl(ev2, str(tmp_path / "ev2"), n_files=1)
+    pipe2 = SearchSyncPipeline(spark, cfg)
+    pipe2.run_stream(read_oplog_stream(spark, str(tmp_path / "ev2"),
+                                       max_files_per_trigger=1),
+                     str(tmp_path / "scp2"))
+    import pandas as _pd
+
+    all_ev = _pd.concat([ev1.toPandas(), ev2.toPandas()])
+    exp = oracle_replay(snap.toPandas(), all_ev)
+    assert pipe2.read().count() == len(exp)

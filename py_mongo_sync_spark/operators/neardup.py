@@ -128,6 +128,62 @@ def verify_pairs_jaccard(
 
 
 def connected_components_min_label(
+    edges: DataFrame, max_rounds: int = 15, double_from: int = 2,
+    driver_threshold: int = 100_000,
+) -> DataFrame:
+    """See :func:`_components_loop` for the distributed algorithm. Small
+    edge sets (≤ ``driver_threshold``, counted first) short-circuit to a
+    driver-side union-find over ONE bounded collect — the same
+    small-side/large-side split as broadcast-vs-shuffle joins: after
+    near-dup verification most corpora's edge sets are tiny relative to
+    the corpus, and the iterative loop's per-round job latency would
+    dominate. Results are identical; 0 disables the short-circuit."""
+    # pin the edge set: its lineage (candidate-gen + Jaccard verify) is
+    # expensive and BOTH the size probe and the chosen tier consume it —
+    # unpinned, the probe and the collect would each recompute it
+    persisted = edges.persist()
+    try:
+        return _components_dispatch(persisted, max_rounds, double_from,
+                                    driver_threshold)
+    finally:
+        persisted.unpersist()
+
+
+def _components_dispatch(
+    edges: DataFrame, max_rounds: int, double_from: int, driver_threshold: int
+) -> DataFrame:
+    n_edges = edges.count()
+    if n_edges <= driver_threshold and driver_threshold > 0:
+        pairs = edges.select("doc_a", "doc_b").collect()
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in pairs:
+            ra, rb = find(r["doc_a"]), find(r["doc_b"])
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        from pyspark.sql import types as T
+
+        dt = edges.schema["doc_a"].dataType
+        schema = T.StructType(
+            [T.StructField("node", dt), T.StructField("cluster_id", dt)]
+        )
+        rows = [(n, find(n)) for n in parent]
+        return edges.sparkSession.createDataFrame(rows, schema)
+    return _components_loop(edges, max_rounds, double_from)
+
+
+def _components_loop(
     edges: DataFrame, max_rounds: int = 15, double_from: int = 2
 ) -> DataFrame:
     """Min-label propagation with ADAPTIVE pointer doubling over undirected

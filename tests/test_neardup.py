@@ -115,9 +115,15 @@ def test_components_handle_chains_and_isolated(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
     )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # driver short-circuit (small side) and distributed loop must agree
     got = {r["node"]: r["cluster_id"]
            for r in connected_components_min_label(edges).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    assert got == want
+    got_loop = {r["node"]: r["cluster_id"]
+                for r in connected_components_min_label(
+                    edges, driver_threshold=0).collect()}
+    assert got_loop == want
 
 
 from hypothesis import HealthCheck, given, settings
@@ -162,6 +168,12 @@ def test_components_match_union_find_on_random_graphs(spark, edges):
     expect = {n: find(n) for n in parent}
 
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    # property holds for BOTH tiers: driver union-find and the
+    # distributed pointer-doubling loop
     got = {r["node"]: r["cluster_id"]
            for r in connected_components_min_label(df, max_rounds=10).collect()}
     assert got == expect
+    got_loop = {r["node"]: r["cluster_id"]
+                for r in connected_components_min_label(
+                    df, max_rounds=10, driver_threshold=0).collect()}
+    assert got_loop == expect

@@ -67,3 +67,58 @@ def test_batch_replay_equals_stream(spark, tmp_path):
     expected = _expected_df(spark, snap, events)
     rep = check_consistency(expected, actual, KEY_COLS, ["role", "text", "ts"])
     assert rep["ok"], rep
+
+
+def test_follow_mode_continuous_tail(spark, tmp_path):
+    """The continuous (processing-time) trigger — the reference's infinite
+    tail loop analogue: events appearing AFTER the stream starts are
+    applied without restarting, and the query stops cleanly."""
+    import json as _json
+    import os
+    import time as _time
+
+    cfg = SyncConfig(
+        dst_path=str(tmp_path / "lake"), checkpoint_path=str(tmp_path / "cp"),
+        n_buckets=4,
+    )
+    snap = gen_transcripts_snapshot(spark, 5, 2)
+    pipe = CdcPipeline(spark, cfg)
+    pipe.initial_sync(snap)
+
+    ev_dir = tmp_path / "events"
+    os.makedirs(ev_dir)
+
+    def drop(name, rows, mtime):
+        p = ev_dir / name
+        with open(p, "w") as f:
+            for ts, conv in rows:
+                f.write(_json.dumps({
+                    "ts": ts, "op": "i", "ns": "chat.transcripts",
+                    "doc": _json.dumps({"conv_id": conv, "turn_idx": 0,
+                                        "role": "user", "text": f"t{ts}"}),
+                }) + "\n")
+        os.utime(p, (mtime, mtime))
+
+    drop("b0.json", [(2000, "live_a")], 1_700_000_000)
+    stream = read_oplog_stream(spark, str(ev_dir))
+    q = pipe.run_stream(stream, str(tmp_path / "scp"),
+                        available_now=False, processing_time="1 second")
+    try:
+        def wait_for(conv, timeout=60):
+            t0 = _time.monotonic()
+            while _time.monotonic() - t0 < timeout:
+                if pipe.table.read().where(
+                        f"conv_id = '{conv}'").count() == 1:
+                    return True
+                _time.sleep(1)
+            return False
+
+        assert wait_for("live_a"), "initial file never applied"
+        # a file dropped while the query is RUNNING is picked up
+        drop("b1.json", [(2001, "live_b")], 1_700_000_001)
+        assert wait_for("live_b"), "file added mid-stream never applied"
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert pipe.table.read().where(
+        "conv_id IN ('live_a', 'live_b')").count() == 2

@@ -965,6 +965,33 @@ class LakeTable:
         self._commit(dict(m, version=version, buckets=all_buckets, deltas={}))
         return {"version": version}
 
+    def rebucket(self, new_n_buckets: int) -> dict:
+        """Bucket-count evolution (Iceberg partition-spec-evolution
+        analogue): a table created with N buckets eventually outgrows them
+        — per-bucket files get huge and MERGE parallelism caps at N. One
+        full rewrite into ``new_n_buckets`` as a new version (rare,
+        amortized like vacuum); tombstones and pending MoR deltas are
+        carried/folded into the new base, batch-id bookkeeping survives,
+        and subsequent merges pick the new count up from the manifest
+        (probe/write bucket math reads the manifest, not the config)."""
+        if new_n_buckets < 1:
+            raise ValueError(f"new_n_buckets must be >= 1, got {new_n_buckets}")
+        m = self.manifest()
+        version = m["version"] + 1
+        df = self.read(include_tombstones=True).withColumn(
+            BUCKET_COL, bucket_expr(m["key_cols"], new_n_buckets)
+        )
+        buckets = self._write_buckets(
+            df, version, new_n_buckets, m.get("files_per_bucket", 1)
+        )
+        all_buckets = {str(b): [] for b in range(new_n_buckets)}
+        all_buckets.update(buckets)
+        self._commit(dict(
+            m, version=version, n_buckets=new_n_buckets,
+            buckets=all_buckets, deltas={},
+        ))
+        return {"version": version, "n_buckets": new_n_buckets}
+
     def expire_versions(self, keep: int = 3) -> int:
         """Drop data/manifests older than the newest ``keep`` versions that
         are not referenced by them (Iceberg ``expire_snapshots``)."""

@@ -262,3 +262,49 @@ def test_history_inspection(spark, tmp_path):
     assert h[3]["max_batch_id"] == 2 and h[2]["max_batch_id"] == 1
     assert h[1]["n_columns"] == 4 and h[1]["write_mode"] == "cow"
     assert h[3]["n_data_files"] > 0
+
+
+def test_rebucket_evolves_bucket_count(spark, tmp_path):
+    """Bucket-count evolution: rows, tombstones, and CDC behavior survive
+    the rewrite; subsequent merges use the new layout from the manifest."""
+    t = _mk(spark, tmp_path, [(f"c{i}", 0, f"t{i}", TS[i % 10]) for i in range(20)],
+            n_buckets=2)
+    t.merge(_src(spark, [("c1", 0, None, TS[5], "d", False)]), batch_id=1)
+    assert t.manifest()["n_buckets"] == 2
+
+    res = t.rebucket(8)
+    assert res["n_buckets"] == 8 and t.manifest()["n_buckets"] == 8
+    got = {r["conv_id"]: r["text"] for r in t.read().collect()}
+    assert len(got) == 19 and "c1" not in got          # delete survived
+    dead = t.read(include_tombstones=True).where("_deleted").count()
+    assert dead == 1                                   # as a tombstone
+
+    # post-rebucket merges work against the new layout, and the stale-ts
+    # guard still blocks resurrection of the tombstoned key
+    r2 = t.merge(_src(spark, [
+        ("c2", 0, "updated", TS[8], "u", False),
+        ("c1", 0, "zombie", TS[2], "i", False),        # older than delete
+    ]), batch_id=2)
+    assert not r2["skipped"]
+    got2 = {r["conv_id"]: r["text"] for r in t.read().collect()}
+    assert got2["c2"] == "updated" and "c1" not in got2
+    # bucket pruning operates on the NEW count (a 1-key batch ≤ few buckets)
+    r3 = t.merge(_src(spark, [("c3", 0, "x", TS[9], "u", False)]), batch_id=3)
+    assert r3["changed_buckets"] <= 2
+
+
+def test_rebucket_mor_folds_deltas(spark, tmp_path):
+    """MoR: pending per-bucket deltas fold into the rebucketed base (kept
+    deltas would re-apply residual patches on the next read)."""
+    df = spark.createDataFrame(
+        [(f"c{i}", 0, f"t{i}", TS[i % 10]) for i in range(10)],
+        "conv_id string, turn_idx int, text string, ts timestamp")
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create_or_replace(df, key_cols=KEYS, ts_col="ts", n_buckets=2,
+                        write_mode="mor")
+    t.merge(_src(spark, [("c0", 0, "patched", TS[9], "u", False)]), batch_id=1)
+    assert t.manifest().get("deltas")                  # delta pending
+    t.rebucket(4)
+    m = t.manifest()
+    assert m["n_buckets"] == 4 and not m.get("deltas")
+    assert {r["conv_id"]: r["text"] for r in t.read().collect()}["c0"] == "patched"

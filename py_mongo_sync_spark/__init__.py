@@ -15,7 +15,7 @@ reference, a MongoDB oplog-tailing replicator), re-expressed Spark-first:
 Reference semantics cited per-module as ``/root/reference/<file>:<line>``.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 from py_mongo_sync_spark.config import SyncConfig  # noqa: F401
-from py_mongo_sync_spark.plans.lake import LakeTable  # noqa: F401
+from py_mongo_sync_spark.plans.lake import CommitConflict, LakeTable  # noqa: F401

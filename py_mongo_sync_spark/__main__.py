@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--spark-checkpoint", default=None,
                     help="Structured Streaming checkpointLocation "
                          "(default: <dst.checkpoint_path>/_spark)")
+    ap.add_argument("--rebucket", type=int, default=None, metavar="N",
+                    help="admin: rewrite the destination table into N hash "
+                         "buckets (bucket-count evolution for grown tables) "
+                         "and exit — no sync is performed")
     ap.add_argument("--multi", action="store_true",
                     help="catalog-driven multi-table sync: one destination "
                          "table per namespace from [[sync.dbs]] (wildcard "
@@ -81,6 +85,16 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     spark = get_spark("py_mongo_sync_spark", cores=args.cores)
+    if args.rebucket is not None:
+        from py_mongo_sync_spark.plans.lake import LakeTable
+
+        table = LakeTable(spark, cfg.dst_path)
+        if not table.exists():
+            print(f"error: no table at {cfg.dst_path}", file=sys.stderr)
+            return 2
+        res = table.rebucket(args.rebucket)
+        print(json.dumps({"stage": "REBUCKET", **res}))
+        return 0
     if args.multi:
         return _run_multi(spark, cfg, extras, args)
     pipe = CdcPipeline(spark, cfg, dst_ns=extras["dst_ns"])

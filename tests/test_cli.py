@@ -228,3 +228,53 @@ db = "logs"
     # --resume resolves the min cross-table watermark and changes nothing
     assert main(["-f", conf, "--cores", "8", "--multi", "--resume"]) == 0
     assert t.read().count() == len(exp)
+
+
+def test_cli_rebucket_admin(spark, tmp_path):
+    """Admin path: sync, rebucket via the CLI, then keep syncing against
+    the evolved layout."""
+    from py_mongo_sync_spark.__main__ import main
+    from py_mongo_sync_spark.plans.lake import LakeTable
+
+    snap = gen_transcripts_snapshot(spark, 10, 3)
+    ev = gen_oplog_events(spark, 10, 3, 150)
+    snap.write.parquet(str(tmp_path / "snap"))
+    write_events_jsonl(ev, str(tmp_path / "ev"), n_files=1)
+    conf = _write_conf(tmp_path, f"""
+[src]
+events_path = "{tmp_path}/ev"
+snapshot_path = "{tmp_path}/snap"
+[dst]
+path = "{tmp_path}/lake"
+checkpoint_path = "{tmp_path}/cp"
+[engine]
+n_buckets = 2
+""")
+    assert main(["-f", conf, "--cores", "8"]) == 0
+    t = LakeTable(spark, str(tmp_path / "lake"))
+    n_before = t.read().count()
+
+    assert main(["-f", conf, "--cores", "8", "--rebucket", "8"]) == 0
+    assert t.manifest()["n_buckets"] == 8
+    assert t.read().count() == n_before
+
+    # a later sync of NEW events applies against the evolved layout
+    ev2 = gen_oplog_events(spark, 10, 3, 60, start_optime=10 * 3 + 1000 + 150,
+                           seed=3)
+    write_events_jsonl(ev2, str(tmp_path / "ev2"), n_files=1)
+    conf2 = _write_conf(tmp_path, f"""
+[src]
+events_path = "{tmp_path}/ev2"
+[dst]
+path = "{tmp_path}/lake"
+checkpoint_path = "{tmp_path}/cp"
+[engine]
+n_buckets = 2
+""")
+    # new source path → its own spark checkpoint (a file-stream checkpoint
+    # is bound to one source path); the epoch guard makes the restarted
+    # batch ids apply rather than skip
+    assert main(["-f", conf2, "--cores", "8",
+                 "--spark-checkpoint", str(tmp_path / "scp2")]) == 0
+    assert t.manifest()["n_buckets"] == 8   # layout stays evolved
+    assert t.read().count() >= n_before     # second segment applied

@@ -965,6 +965,70 @@ class LakeTable:
         self._commit(dict(m, version=version, buckets=all_buckets, deltas={}))
         return {"version": version}
 
+    def read_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Incremental changelog between two snapshot versions (Iceberg
+        incremental-read analogue) — what a downstream training pipeline
+        consumes instead of rescanning the table. Cost is bounded by the
+        TOUCHED buckets: buckets whose file/delta lists are identical in
+        both manifests are skipped entirely, and the row-level diff is one
+        full-outer join per touched bucket set.
+
+        Rows: table columns (new values; deletes carry the tombstone's
+        last-known values) plus ``_change_type`` ∈ insert / update / delete. ``update`` requires a
+        newer ts (rewritten-but-identical rows inside a touched bucket are
+        NOT changes and are filtered)."""
+        m_from = self.manifest(from_version)
+        m_to = self.manifest(to_version)
+        if m_to.get("n_buckets") != m_from.get("n_buckets"):
+            touched = None  # rebucket between versions: diff everything
+        else:
+            touched = sorted(
+                int(b)
+                for b in set(m_to["buckets"]) | set(m_from["buckets"])
+                if m_to["buckets"].get(b) != m_from["buckets"].get(b)
+                or m_to.get("deltas", {}).get(b) != m_from.get("deltas", {}).get(b)
+            )
+            if not touched:
+                schema = T.StructType.fromJson(m_to["schema"])
+                empty = T.StructType(
+                    schema.fields + [T.StructField("_change_type", T.StringType())]
+                )
+                return self.spark.createDataFrame([], empty)
+        key_cols: list[str] = m_to["key_cols"]
+        ts_col: str = m_to["ts_col"]
+        old = self.read(version=from_version, buckets=touched,
+                        include_tombstones=True)
+        new = self.read(version=m_to["version"], buckets=touched,
+                        include_tombstones=True)
+        cols = [f.name for f in T.StructType.fromJson(m_to["schema"]).fields]
+        for c in cols:  # schema evolution between the versions
+            if c not in old.columns:
+                old = old.withColumn(c, F.lit(None))
+        o, n = old.alias("o"), new.alias("n")
+        j = o.join(n, [o[k].eqNullSafe(n[k]) for k in key_cols], "full_outer")
+        o_dead = F.coalesce(F.col(f"o.{DELETED_COL}"), F.lit(False))
+        n_dead = F.coalesce(F.col(f"n.{DELETED_COL}"), F.lit(False))
+        o_live = F.col(f"o.{ts_col}").isNotNull() & ~o_dead
+        n_live = F.col(f"n.{ts_col}").isNotNull() & ~n_dead
+        change = (
+            F.when(~o_live & n_live, F.lit("insert"))
+            .when(o_live & ~n_live & n_dead, F.lit("delete"))
+            .when(o_live & n_live
+                  & (F.col(f"n.{ts_col}") > F.col(f"o.{ts_col}")),
+                  F.lit("update"))
+        )
+        out_cols = [
+            F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c)
+            if c in key_cols else F.col(f"n.{c}").alias(c)
+            for c in cols
+        ]
+        return (
+            j.select(*out_cols, change.alias("_change_type"))
+            .where(F.col("_change_type").isNotNull())
+        )
+
     def rebucket(self, new_n_buckets: int) -> dict:
         """Bucket-count evolution (Iceberg partition-spec-evolution
         analogue): a table created with N buckets eventually outgrows them

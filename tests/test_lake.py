@@ -308,3 +308,40 @@ def test_rebucket_mor_folds_deltas(spark, tmp_path):
     m = t.manifest()
     assert m["n_buckets"] == 4 and not m.get("deltas")
     assert {r["conv_id"]: r["text"] for r in t.read().collect()}["c0"] == "patched"
+
+
+def test_read_changes_incremental_changelog(spark, tmp_path):
+    """Incremental read between versions: inserts/updates/deletes appear
+    with the right change type, rewritten-but-identical rows in a touched
+    bucket do NOT appear, and untouched-version pairs return nothing."""
+    t = _mk(spark, tmp_path, [
+        ("a", 0, "x", TS[0]), ("b", 1, "y", TS[1]), ("c", 2, "z", TS[2]),
+    ], n_buckets=2)
+    v1 = t.latest_version()
+    t.merge(_src(spark, [
+        ("a", 0, "x2", TS[3], "u", False),        # update
+        ("d", 3, "new", TS[4], "u", False),       # insert
+        ("b", 1, None, TS[5], "d", False),        # delete
+    ]), batch_id=1)
+    v2 = t.latest_version()
+
+    ch = {(r["conv_id"], r["turn_idx"]): r for r in
+          t.read_changes(v1, v2).collect()}
+    types = {k: v["_change_type"] for k, v in ch.items()}
+    assert types == {("a", 0): "update", ("d", 3): "insert", ("b", 1): "delete"}
+    assert ch[("a", 0)]["text"] == "x2"           # new values carried
+    assert ch[("b", 1)]["text"] == "y"            # delete: last-known values
+    # ("c", 2) shares a bucket with changed keys but is unchanged → absent
+
+    # a later batch diffed against v2 sees only ITS changes
+    t.merge(_src(spark, [("c", 2, "z2", TS[6], "u", False)]), batch_id=2)
+    ch2 = {(r["conv_id"], r["turn_idx"]): r["_change_type"]
+           for r in t.read_changes(v2).collect()}
+    assert ch2 == {("c", 2): "update"}
+    # full span: union of both diffs
+    ch_all = {(r["conv_id"], r["turn_idx"]): r["_change_type"]
+              for r in t.read_changes(v1).collect()}
+    assert ch_all == {("a", 0): "update", ("d", 3): "insert",
+                      ("b", 1): "delete", ("c", 2): "update"}
+    # identical versions: empty
+    assert t.read_changes(v2, v2).count() == 0

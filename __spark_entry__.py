@@ -409,6 +409,22 @@ def q_cdc_replay_synthetic(spark, sf):
     from py_mongo_sync_spark.schema import FIXTURE_EPOCH, TRANSCRIPT_SCHEMA_V0
     from py_mongo_sync_spark.streaming.pipeline import CdcPipeline
 
+    env = _synthetic_env(spark, sf)
+    tmp = tempfile.mkdtemp(prefix="cdc_replay_q_")
+    cfg = SyncConfig(dst_path=os.path.join(tmp, "lake"),
+                     checkpoint_path=os.path.join(tmp, "cp"), n_buckets=8)
+    pipe = CdcPipeline(spark, cfg)
+    pipe.initial_sync(spark.createDataFrame([], TRANSCRIPT_SCHEMA_V0))
+    pipe.replay_batch(env, batch_id=0)
+    return pipe.table.read().select(
+        "conv_id", "turn_idx", "role", "text",
+        (F.col("ts").cast("long") - F.lit(FIXTURE_EPOCH)).alias("optime"),
+    )
+
+
+def _synthetic_env(spark, sf):
+    """Deterministic oplog envelope derived from the events table (shared
+    by the replay and changelog queries)."""
     ev = _t(spark, sf, "events").where(F.col("event_type") != "view")
     conv = F.concat(F.lit("c"), F.pmod(F.col("user_id"), F.lit(40)).cast("string"))
     turn = F.pmod(F.col("event_id"), F.lit(6)).cast("int")
@@ -423,19 +439,40 @@ def q_cdc_replay_synthetic(spark, sf):
                                F.struct(ptext.alias("text")).alias("$set")))
     key = F.to_json(F.struct(conv.alias("conv_id"), turn.alias("turn_idx")))
     doc = F.when(op == "d", key).when(is_patch, patch).otherwise(full)
-    env = ev.select(
+    return ev.select(
         F.col("event_id").alias("ts"), F.col("event_id").alias("seq"),
         op.alias("op"), F.lit("chat.transcripts").alias("ns"), doc.alias("doc"),
     )
-    tmp = tempfile.mkdtemp(prefix="cdc_replay_q_")
+
+
+def q_cdc_changelog(spark, sf):
+    """LakeTable.read_changes end-to-end: replay the synthetic oplog in TWO
+    batches (optime < 2500, then the rest) and return the incremental
+    changelog between the two committed versions. The DuckDB oracle
+    recomputes both sequential states and classifies insert/update/delete
+    — bucket pruning cannot change the answer (untouched buckets hold
+    unchanged keys, which classify to no-change)."""
+    from py_mongo_sync_spark.config import SyncConfig
+    from py_mongo_sync_spark.schema import FIXTURE_EPOCH, TRANSCRIPT_SCHEMA_V0
+    from py_mongo_sync_spark.streaming.pipeline import CdcPipeline
+
+    env = _synthetic_env(spark, sf)
+    tmp = tempfile.mkdtemp(prefix="cdc_changelog_q_")
     cfg = SyncConfig(dst_path=os.path.join(tmp, "lake"),
                      checkpoint_path=os.path.join(tmp, "cp"), n_buckets=8)
     pipe = CdcPipeline(spark, cfg)
     pipe.initial_sync(spark.createDataFrame([], TRANSCRIPT_SCHEMA_V0))
-    pipe.replay_batch(env, batch_id=0)
-    return pipe.table.read().select(
+    pipe.replay_batch(env.where(F.col("ts") < 2500), batch_id=0)
+    v_mid = pipe.table.latest_version()
+    pipe.replay_batch(env.where(F.col("ts") >= 2500), batch_id=1)
+    ch = pipe.table.read_changes(v_mid)
+    # delete rows' optime is the tombstone's internal ts — implementation
+    # detail, not part of the changelog contract; NULL it for the oracle
+    return ch.select(
         "conv_id", "turn_idx", "role", "text",
-        (F.col("ts").cast("long") - F.lit(FIXTURE_EPOCH)).alias("optime"),
+        F.when(F.col("_change_type") != "delete",
+               F.col("ts").cast("long") - F.lit(FIXTURE_EPOCH)).alias("optime"),
+        "_change_type",
     )
 
 
@@ -573,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_counts": q_pivot_event_counts,
         # engine-native / non-SQL (rows-only checks)
         "cdc_replay_synthetic": q_cdc_replay_synthetic,
+        "cdc_changelog": q_cdc_changelog,
         "minhash_neardup": q_minhash_neardup,
         "neardup_clusters": q_neardup_clusters,
         "simhash_fingerprint": q_simhash_fingerprint,
@@ -786,6 +824,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, count(*) AS n_vecs,
                    round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm
             FROM embeddings GROUP BY label
+        """,
+        "cdc_changelog": """
+            SELECT * FROM (
+            WITH ev AS (
+                SELECT event_id AS ot,
+                       'c' || CAST(user_id % 40 AS VARCHAR) AS conv_id,
+                       CAST(event_id % 6 AS INT) AS turn_idx,
+                       CASE event_type WHEN 'signup' THEN 'i' WHEN 'error' THEN 'd'
+                            WHEN 'purchase' THEN 'p' ELSE 'u' END AS op,
+                       event_type AS role,
+                       'e' || CAST(event_id AS VARCHAR) AS text,
+                       'p' || CAST(event_id AS VARCHAR) AS ptext
+                FROM events WHERE event_type <> 'view'
+            ), b1 AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                                 ORDER BY ot DESC) AS rn
+                    FROM ev WHERE op IN ('i', 'u', 'd') AND ot < 2500
+                ) WHERE rn = 1
+            ), p1 AS (
+                SELECT e.conv_id, e.turn_idx,
+                       max_by(e.ptext, e.ot) AS ptext, max(e.ot) AS pot
+                FROM ev e JOIN b1 b ON e.conv_id = b.conv_id AND e.turn_idx = b.turn_idx
+                WHERE e.op = 'p' AND e.ot > b.ot AND e.ot < 2500
+                GROUP BY e.conv_id, e.turn_idx
+            ), s1 AS (
+                SELECT b.conv_id, b.turn_idx, b.role,
+                       coalesce(p.ptext, b.text) AS text,
+                       CASE WHEN b.op = 'd' THEN b.ot
+                            ELSE greatest(b.ot, coalesce(p.pot, b.ot)) END AS ot,
+                       (b.op <> 'd') AS live
+                FROM b1 b LEFT JOIN p1 p
+                  ON b.conv_id = p.conv_id AND b.turn_idx = p.turn_idx
+            ), b2 AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                                 ORDER BY ot DESC) AS rn
+                    FROM ev WHERE op IN ('i', 'u', 'd') AND TRUE
+                ) WHERE rn = 1
+            ), p2 AS (
+                SELECT e.conv_id, e.turn_idx,
+                       max_by(e.ptext, e.ot) AS ptext, max(e.ot) AS pot
+                FROM ev e JOIN b2 b ON e.conv_id = b.conv_id AND e.turn_idx = b.turn_idx
+                WHERE e.op = 'p' AND e.ot > b.ot AND TRUE
+                GROUP BY e.conv_id, e.turn_idx
+            ), s2 AS (
+                SELECT b.conv_id, b.turn_idx, b.role,
+                       coalesce(p.ptext, b.text) AS text,
+                       CASE WHEN b.op = 'd' THEN b.ot
+                            ELSE greatest(b.ot, coalesce(p.pot, b.ot)) END AS ot,
+                       (b.op <> 'd') AS live
+                FROM b2 b LEFT JOIN p2 p
+                  ON b.conv_id = p.conv_id AND b.turn_idx = p.turn_idx
+            )
+            SELECT coalesce(s2.conv_id, s1.conv_id) AS conv_id,
+                   coalesce(s2.turn_idx, s1.turn_idx) AS turn_idx,
+                   CASE WHEN s2.live THEN s2.role ELSE s1.role END AS role,
+                   CASE WHEN s2.live THEN s2.text ELSE s1.text END AS text,
+                   CASE WHEN s2.live THEN s2.ot END AS optime,
+                   CASE WHEN coalesce(s1.live, FALSE) = FALSE AND s2.live THEN 'insert'
+                        WHEN s1.live AND s2.live AND s2.ot > s1.ot THEN 'update'
+                        WHEN s1.live AND s2.live = FALSE THEN 'delete'
+                   END AS _change_type
+            FROM s1 FULL OUTER JOIN s2
+              ON s1.conv_id = s2.conv_id AND s1.turn_idx = s2.turn_idx
+        ) WHERE _change_type IS NOT NULL
         """,
         "cdc_replay_synthetic": """
             WITH ev AS (

@@ -203,3 +203,27 @@ def test_mor_schema_evolution_via_delta(spark, tmp_path):
     got = {(r["conv_id"], r["turn_idx"]): r["tool"] for r in df.collect()}
     assert got[("conv_000001", 1)] == "calculator"
     assert got[("conv_000000", 0)] is None  # old base rows NULL-backfill
+
+
+def test_read_changes_on_mor_table(spark, tmp_path):
+    """Changelog across versions whose delta (not base) file lists moved:
+    MoR appends deltas per batch, and read_changes must see through the
+    read-time fold on both sides of the diff."""
+    from py_mongo_sync_spark.plans.lake import LakeTable
+
+    df = spark.createDataFrame(
+        [(f"c{i}", 0, f"t{i}", pd.Timestamp(1_700_000_000 + i, unit="s").to_pydatetime())
+         for i in range(8)],
+        "conv_id string, turn_idx int, text string, ts timestamp")
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create_or_replace(df, key_cols=["conv_id", "turn_idx"], ts_col="ts",
+                        n_buckets=2, write_mode="mor")
+    v1 = t.latest_version()
+    src = spark.createDataFrame(
+        [("c0", 0, "patched", pd.Timestamp(1_700_000_100, unit="s").to_pydatetime(), "u", False),
+         ("c9", 0, "fresh", pd.Timestamp(1_700_000_101, unit="s").to_pydatetime(), "u", False)],
+        "conv_id string, turn_idx int, text string, ts timestamp, _op string, _is_patch boolean")
+    t.merge(src, batch_id=1)
+    ch = {(r["conv_id"], r["turn_idx"]): (r["_change_type"], r["text"])
+          for r in t.read_changes(v1).collect()}
+    assert ch == {("c0", 0): ("update", "patched"), ("c9", 0): ("insert", "fresh")}

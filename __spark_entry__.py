@@ -523,6 +523,18 @@ def q_simhash_neardup_pairs(spark, sf):
     return hamming_neardup_pairs(sigs, "doc_id", "simhash48", max_hamming=3, bits=48)
 
 
+def q_ann_ivf_topk(spark, sf):
+    """IVF-style ANN (functions/similarity.py::ivf_topk): deterministic
+    coarse quantizer, nprobe=2 of 16 centroids; the DuckDB oracle rebuilds
+    identical assignments, probe set, and rerank."""
+    from py_mongo_sync_spark.functions.similarity import ivf_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.where("vec_id = 0").select("embedding")
+    top = ivf_topk(e.where("vec_id <> 0"), q, k=10, k_centroids=16, nprobe=2)
+    return top.select("vec_id", F.round("cos", 4).alias("cos_sim"))
+
+
 def q_embedding_cosine_neardup(spark, sf):
     """Embedding-cosine near-dup pairs: LSH-bucket candidates + exact
     cosine >= 0.4 verify (functions/similarity.py::cosine_neardup_pairs);
@@ -617,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "embedding_cosine_neardup": q_embedding_cosine_neardup,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "quality_scores": q_quality_scores,
         "lang_id_heuristic": q_lang_id_heuristic,
         "multimodal_binary_meta": q_multimodal_binary_meta,
@@ -1164,5 +1177,40 @@ def _hash_parity_oracles() -> dict[str, str]:
         "minhash_neardup": minhash,
         "neardup_clusters": neardup_clusters_sql,
         "ann_lsh_bucketed": ann,
+        "ann_ivf_topk": """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+                   WHERE vec_id <> 0),
+        c AS (
+            -- stride-spaced centroids (stride = n // 16), mirroring
+            -- _stride_centroids: spread across the corpus, not lowest-k
+            SELECT cid, ce FROM (
+                SELECT vec_id AS cid, e AS ce,
+                       row_number() OVER (ORDER BY vec_id) AS rn,
+                       (SELECT count(*) FROM v) AS n
+                FROM v
+            ) WHERE (rn - 1) % greatest(1, n // 16) = 0
+            ORDER BY cid LIMIT 16
+        ),
+        asg AS (
+            SELECT vec_id, e FROM (
+                SELECT v.vec_id, v.e, c.cid,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY list_dot_product(v.e, c.ce) / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cid) AS rn
+                FROM v, c
+            ) WHERE rn = 1 AND cid IN (
+                SELECT cid FROM (
+                    SELECT c.cid,
+                           row_number() OVER (ORDER BY list_dot_product(q.qv, c.ce) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cid) AS qrn
+                    FROM c, (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                             WHERE vec_id = 0) q
+                ) WHERE qrn <= 2
+            )
+        )
+        SELECT vec_id, round(list_dot_product(cand.e, q.qv) / (sqrt(list_dot_product(cand.e, cand.e)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+        FROM asg cand, (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                        WHERE vec_id = 0) q
+        ORDER BY list_dot_product(cand.e, q.qv) / (sqrt(list_dot_product(cand.e, cand.e)) * sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id
+        LIMIT 10
+    """,
         "embedding_cosine_neardup": cos_neardup,
     }

@@ -41,6 +41,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="admin: rewrite the destination table into N hash "
                          "buckets (bucket-count evolution for grown tables) "
                          "and exit — no sync is performed")
+    ap.add_argument("--vacuum-tombstones", type=int, default=None,
+                    metavar="OPTIME",
+                    help="admin: physically drop tombstones older than this "
+                         "optime (a safe horizon past stream retention) and "
+                         "exit")
+    ap.add_argument("--expire-versions", type=int, default=None, metavar="K",
+                    help="admin: delete data files unreferenced by the "
+                         "newest K table versions and exit")
     ap.add_argument("--multi", action="store_true",
                     help="catalog-driven multi-table sync: one destination "
                          "table per namespace from [[sync.dbs]] (wildcard "
@@ -85,15 +93,31 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     spark = get_spark("py_mongo_sync_spark", cores=args.cores)
-    if args.rebucket is not None:
+    admin = (args.rebucket is not None or args.vacuum_tombstones is not None
+             or args.expire_versions is not None)
+    if admin:
         from py_mongo_sync_spark.plans.lake import LakeTable
+        from py_mongo_sync_spark.schema import FIXTURE_EPOCH
 
         table = LakeTable(spark, cfg.dst_path)
         if not table.exists():
             print(f"error: no table at {cfg.dst_path}", file=sys.stderr)
             return 2
-        res = table.rebucket(args.rebucket)
-        print(json.dumps({"stage": "REBUCKET", **res}))
+        if args.rebucket is not None:
+            res = table.rebucket(args.rebucket)
+            print(json.dumps({"stage": "REBUCKET", **res}))
+        if args.vacuum_tombstones is not None:
+            import datetime as _dt
+
+            horizon = _dt.datetime.fromtimestamp(
+                FIXTURE_EPOCH + args.vacuum_tombstones, _dt.timezone.utc
+            )
+            res = table.vacuum_tombstones(horizon)
+            print(json.dumps({"stage": "VACUUM_TOMBSTONES", **res}))
+        if args.expire_versions is not None:
+            removed = table.expire_versions(args.expire_versions)
+            print(json.dumps({"stage": "EXPIRE_VERSIONS",
+                              "removed_files": removed}))
         return 0
     if args.multi:
         return _run_multi(spark, cfg, extras, args)

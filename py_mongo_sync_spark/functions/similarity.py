@@ -467,6 +467,89 @@ def lsh_hyperplane_buckets(
     return emb.select(F.col(id_col), F.col(vec_col), bucket.cast("int").alias("bucket"))
 
 
+def _stride_centroids(emb, id_col, vec_col, k_centroids):
+    """k id-ordered, stride-spaced corpus vectors (stride = n // k): a
+    deterministic centroid set that spans the corpus. MATERIALIZED on the
+    driver (bounded: k rows) and rebuilt as a fresh DataFrame — the
+    centroid set must not share lineage with the corpus it joins against,
+    or the assignment window's column references resolve ambiguously
+    (self-join attribute dedup silently bound partitionBy to the wrong
+    leg, producing garbage assignments); it is broadcast anyway."""
+    from pyspark.sql import Window
+
+    n = emb.count()
+    stride = max(1, n // k_centroids)
+    w = Window.orderBy(id_col)
+    rows = (
+        emb.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") - 1) % stride == 0)
+        .orderBy(id_col).limit(k_centroids)
+        .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
+        .collect()
+    )
+    return emb.sparkSession.createDataFrame(
+        [(r["_cid"], r["_cvec"]) for r in rows],
+        f"_cid long, _cvec array<double>",
+    )
+
+
+def ivf_assignments(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    k_centroids: int = 16,
+) -> DataFrame:
+    """IVF coarse quantizer: every vector assigned to its nearest-cosine
+    centroid. Centroids are ``k_centroids`` id-ordered STRIDE-spaced corpus
+    vectors — deterministic (no RNG, no iterative k-means: at 100 TB you
+    run a real trained quantizer offline; the INDEX STRUCTURE — assignment
+    join, inverted lists, probe path — is identical and is what this
+    implements) and spread across the corpus (the lowest-k ids would all
+    come from one id-range/cluster and fragment its inverted lists).
+    Assignment is a broadcast join against the tiny centroid set + one
+    row_number per vector; ties break on centroid id."""
+    from pyspark.sql import Window
+
+    cents = _stride_centroids(emb, id_col, vec_col, k_centroids)
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cv = F.transform(F.col("_cvec"), lambda x: x.cast("double"))
+    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("_cid"))
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("_cos", cosine_sim(dv, cv))
+        .withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .select(id_col, vec_col, F.col("_cid").alias("centroid_id"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame, query_vec: DataFrame, id_col: str = "vec_id",
+    vec_col: str = "embedding", k: int = 10, k_centroids: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN (the second scale path next to hyperplane LSH): rank
+    the query against the centroids, scan only the ``nprobe`` nearest
+    centroids' inverted lists (~nprobe/k_centroids of the corpus), exact
+    cosine rerank inside. Raising nprobe trades scan for recall exactly
+    like LSH multiprobe."""
+    from pyspark.sql import Window
+
+    asg = ivf_assignments(emb, id_col, vec_col, k_centroids)
+    cents = _stride_centroids(emb, id_col, vec_col, k_centroids)
+    qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cv = F.transform(F.col("_cvec"), lambda x: x.cast("double"))
+    w = Window.orderBy(F.col("_qcos").desc(), F.col("_cid"))
+    probed = (
+        query_vec.crossJoin(F.broadcast(cents))
+        .withColumn("_qcos", cosine_sim(qv, cv))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= nprobe)
+        .select(F.col("_cid").alias("_probe_cid"))
+    )
+    cand = asg.join(F.broadcast(probed),
+                    asg["centroid_id"] == F.col("_probe_cid"))
+    return brute_force_topk(cand, query_vec, id_col, vec_col, k)
+
+
 def cosine_neardup_pairs(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.4, n_planes: int = 6, dim: int = 64,

@@ -278,3 +278,38 @@ n_buckets = 2
                  "--spark-checkpoint", str(tmp_path / "scp2")]) == 0
     assert t.manifest()["n_buckets"] == 8   # layout stays evolved
     assert t.read().count() >= n_before     # second segment applied
+
+
+def test_cli_admin_vacuum_and_expire(spark, tmp_path):
+    """Admin maintenance path: vacuum old tombstones and expire history
+    through the CLI."""
+    from py_mongo_sync_spark.__main__ import main
+    from py_mongo_sync_spark.plans.lake import LakeTable
+
+    snap = gen_transcripts_snapshot(spark, 8, 3)
+    ev = gen_oplog_events(spark, 8, 3, 120)
+    snap.write.parquet(str(tmp_path / "snap"))
+    write_events_jsonl(ev, str(tmp_path / "ev"), n_files=1)
+    conf = _write_conf(tmp_path, f"""
+[src]
+events_path = "{tmp_path}/ev"
+snapshot_path = "{tmp_path}/snap"
+[dst]
+path = "{tmp_path}/lake"
+checkpoint_path = "{tmp_path}/cp"
+[engine]
+n_buckets = 2
+""")
+    assert main(["-f", conf, "--cores", "8"]) == 0
+    t = LakeTable(spark, str(tmp_path / "lake"))
+    n_live = t.read().count()
+    had_dead = t.read(include_tombstones=True).where("_deleted").count()
+    assert had_dead > 0
+
+    # vacuum with a horizon past everything: all tombstones drop, live
+    # rows intact; then expire down to the newest 2 versions
+    assert main(["-f", conf, "--cores", "8",
+                 "--vacuum-tombstones", "999999",
+                 "--expire-versions", "2"]) == 0
+    assert t.read().count() == n_live
+    assert t.read(include_tombstones=True).where("_deleted").count() == 0

@@ -228,6 +228,42 @@ def test_ann_multiprobe_recall_on_clustered_corpus(spark):
     assert r1 >= r0  # neighbor buckets only ADD candidates
 
 
+def test_ivf_topk_recall_on_clustered_corpus(spark):
+    """IVF scale path: with centroids spanning the clusters, probing the
+    nearest inverted lists recovers the exact top-k — and nprobe only ADDS
+    candidates (recall monotone in nprobe)."""
+    import math
+    import random
+
+    from py_mongo_sync_spark.functions.similarity import ivf_topk
+
+    rng = random.Random(42)
+    dim = 64
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    cents = [unit([rng.gauss(0, 1) for _ in range(dim)]) for _ in range(12)]
+    rows = []
+    for c in cents:
+        for _ in range(40):
+            rows.append((len(rows), unit([x + rng.gauss(0, 0.04) for x in c])))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where("vec_id = 0").select("embedding")
+    corpus = emb.where("vec_id <> 0")
+    exact = {r["vec_id"] for r in brute_force_topk(corpus, q, k=10).collect()}
+
+    def recall(nprobe):
+        got = {r["vec_id"] for r in ivf_topk(
+            corpus, q, k=10, k_centroids=24, nprobe=nprobe).collect()}
+        return len(got & exact) / 10
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= 0.9, (r1, r3)
+    assert r3 >= r1
+
+
 def test_cosine_neardup_pairs_on_clustered_corpus(spark):
     """Embedding-cosine near-dup: every emitted pair really clears the
     threshold (verification exact), pairs stay within clusters, and the

@@ -509,6 +509,30 @@ def q_lang_id_heuristic(spark, sf):
     return d.select("doc_id", "lang", lang_id_heuristic(F.col("text")).alias("lang_pred"))
 
 
+def q_curated_corpus(spark, sf):
+    """The training-data pipeline's END PRODUCT, composed from the curation
+    operators: corpus minus near-duplicates (neardup_clusters keep-one),
+    filtered to predicted-English docs above a token floor. One query a
+    reference user would actually ship a corpus with; the DuckDB oracle
+    composes the same three stages in SQL."""
+    from py_mongo_sync_spark.functions.text import lang_id_heuristic
+    from py_mongo_sync_spark.operators.neardup import neardup_clusters
+
+    d = _t(spark, sf, "documents")
+    keep = (
+        neardup_clusters(d, id_col="doc_id", text_col="text",
+                         warn_oversized=False)
+        .where("keep").select("doc_id")
+    )
+    tokens = F.size(F.split(F.col("text"), " "))
+    return (
+        d.join(keep, "doc_id")
+        .select("doc_id", lang_id_heuristic(F.col("text")).alias("lang_pred"),
+                tokens.alias("n_tokens"))
+        .where("lang_pred = 'en' AND n_tokens >= 8")
+    )
+
+
 def q_simhash_neardup_pairs(spark, sf):
     from py_mongo_sync_spark.functions.similarity import (
         hamming_neardup_pairs,
@@ -625,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changelog": q_cdc_changelog,
         "minhash_neardup": q_minhash_neardup,
         "neardup_clusters": q_neardup_clusters,
+        "curated_corpus": q_curated_corpus,
         "simhash_fingerprint": q_simhash_fingerprint,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
@@ -1159,6 +1184,39 @@ def _hash_parity_oracles() -> dict[str, str]:
         ORDER BY {cos} DESC, vec_id
         LIMIT 10
     """
+    # --- curated corpus: dedup keep ∘ lang filter ∘ token floor — the
+    # same recursive-CTE component labels, then the lang CASE + length gate
+    curated_prefix = neardup_clusters_sql.split("SELECT d.doc_id,")[0]
+    curated_sql = curated_prefix + """, lp AS (
+            SELECT doc_id,
+                   CASE WHEN length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}]', '', 'g')) > 0 THEN 'zh'
+                        WHEN de > greatest(en, fr, es) THEN 'de'
+                        WHEN es > greatest(en, fr) THEN 'es'
+                        WHEN fr > en THEN 'fr'
+                        ELSE 'en' END AS lang_pred
+            FROM (
+                SELECT doc_id, text,
+                       len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                           ['the','of','and','to','in','is','a'])) AS en,
+                       len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                           ['le','la','et','les','des','un','une'])) AS fr,
+                       len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                           ['el','de','y','los','las','en','una'])) AS es,
+                       len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                           ['der','und','die','das','ein','zu','mit'])) AS de
+                FROM documents
+            )
+        )
+        SELECT d.doc_id, lp.lang_pred,
+               len(string_split(d.text, ' ')) AS n_tokens
+        FROM documents d
+        LEFT JOIN labels l ON l.node = d.doc_id
+        JOIN lp ON lp.doc_id = d.doc_id
+        WHERE d.doc_id = coalesce(l.cluster_id, d.doc_id)
+          AND lp.lang_pred = 'en'
+          AND len(string_split(d.text, ' ')) >= 8
+    """
+
     # --- embedding-cosine near-dup: same md5 hyperplane buckets, exact
     # cosine >= 0.4 verification on within-bucket candidate pairs only
     cosv = ("list_dot_product(a.e, b2.e) / (sqrt(list_dot_product(a.e, a.e))"
@@ -1176,6 +1234,7 @@ def _hash_parity_oracles() -> dict[str, str]:
         "simhash_neardup_pairs": simhash_pairs,
         "minhash_neardup": minhash,
         "neardup_clusters": neardup_clusters_sql,
+        "curated_corpus": curated_sql,
         "ann_lsh_bucketed": ann,
         "ann_ivf_topk": """
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings

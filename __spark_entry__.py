@@ -1240,15 +1240,12 @@ def _hash_parity_oracles() -> dict[str, str]:
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
                    WHERE vec_id <> 0),
         c AS (
-            -- stride-spaced centroids (stride = n // 16), mirroring
-            -- _stride_centroids: spread across the corpus, not lowest-k
-            SELECT cid, ce FROM (
-                SELECT vec_id AS cid, e AS ce,
-                       row_number() OVER (ORDER BY vec_id) AS rn,
-                       (SELECT count(*) FROM v) AS n
-                FROM v
-            ) WHERE (rn - 1) % greatest(1, n // 16) = 0
-            ORDER BY cid LIMIT 16
+            -- md5-hash-sampled centroids, mirroring _stride_centroids:
+            -- a deterministic uniform spread over the corpus
+            SELECT vec_id AS cid, e AS ce FROM v
+            ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                     vec_id
+            LIMIT 16
         ),
         asg AS (
             SELECT vec_id, e FROM (

@@ -468,28 +468,26 @@ def lsh_hyperplane_buckets(
 
 
 def _stride_centroids(emb, id_col, vec_col, k_centroids):
-    """k id-ordered, stride-spaced corpus vectors (stride = n // k): a
-    deterministic centroid set that spans the corpus. MATERIALIZED on the
-    driver (bounded: k rows) and rebuilt as a fresh DataFrame — the
-    centroid set must not share lineage with the corpus it joins against,
-    or the assignment window's column references resolve ambiguously
-    (self-join attribute dedup silently bound partitionBy to the wrong
-    leg, producing garbage assignments); it is broadcast anyway."""
-    from pyspark.sql import Window
-
-    n = emb.count()
-    stride = max(1, n // k_centroids)
-    w = Window.orderBy(id_col)
+    """k deterministic hash-sampled corpus vectors: order by md5(id) and
+    take the first k — a uniform pseudo-random spread over the corpus
+    (lowest-k ids would all come from one id range) that runs as a
+    distributed TakeOrdered top-k, NOT a global-window row_number (which
+    funnels the whole corpus through one partition — a scale killer), and
+    that a SQL oracle reproduces bit-for-bit (md5, not xxhash). The k rows
+    are MATERIALIZED and rebuilt as a fresh DataFrame — a centroid set
+    sharing lineage with the corpus it joins against makes the assignment
+    window's column references resolve ambiguously (self-join attribute
+    dedup silently bound partitionBy to the wrong leg, producing garbage
+    assignments); it is broadcast anyway."""
     rows = (
-        emb.withColumn("_rn", F.row_number().over(w))
-        .where((F.col("_rn") - 1) % stride == 0)
-        .orderBy(id_col).limit(k_centroids)
+        emb.orderBy(md5_long(F.col(id_col).cast("string"), 8), id_col)
+        .limit(k_centroids)
         .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
         .collect()
     )
     return emb.sparkSession.createDataFrame(
         [(r["_cid"], r["_cvec"]) for r in rows],
-        f"_cid long, _cvec array<double>",
+        "_cid long, _cvec array<double>",
     )
 
 

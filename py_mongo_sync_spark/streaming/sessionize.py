@@ -47,13 +47,25 @@ _STATE = T.StructType([
 ])
 
 
-def _session_kernel(gap: int):
+def _session_kernel(gap: int, idle_timeout_ms: int | None):
     def fn(
         key: Tuple[Any, ...],
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            # idle user: close the open session, drop the state — without
+            # this, per-user state accumulates for every user EVER seen
+            cur = state.get if state.exists else None
+            state.remove()
+            if cur is not None:
+                yield pd.DataFrame(
+                    [(user_id, cur[0], cur[1], cur[2], True)],
+                    columns=["user_id", "session_start", "session_end",
+                             "n_events", "closed"],
+                )
+            return
         ts = pd.concat([p["ts"] for p in pdfs]).sort_values().to_numpy()
         if len(ts) == 0:
             return
@@ -69,6 +81,8 @@ def _session_kernel(gap: int):
                 out.append((user_id, cur[0], cur[1], cur[2], True))
                 cur = (t, t, 1)
         state.update(cur)
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         out.append((user_id, cur[0], cur[1], cur[2], False))  # live snapshot
         yield pd.DataFrame(
             out,
@@ -78,14 +92,24 @@ def _session_kernel(gap: int):
     return fn
 
 
-def sessionize_stream(events: DataFrame, gap: int = 1800) -> DataFrame:
+def sessionize_stream(
+    events: DataFrame, gap: int = 1800, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """events(user_id long, ts long) stream → session rows. Shuffles once
     on user_id into the state store's partitioning; the kernel is
-    Arrow-batched (one pandas frame per user per batch, never per-row)."""
+    Arrow-batched (one pandas frame per user per batch, never per-row).
+
+    ``idle_timeout_ms`` bounds state for unbounded user populations: a
+    user idle that long (processing time) has their open session emitted
+    as closed and their state removed — state size tracks ACTIVE users,
+    not all users ever seen. None keeps state forever (test/replay
+    mode)."""
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if idle_timeout_ms is not None else GroupStateTimeout.NoTimeout)
     return events.groupBy("user_id").applyInPandasWithState(
-        _session_kernel(gap),
+        _session_kernel(gap, idle_timeout_ms),
         outputStructType=SESSION_OUT,
         stateStructType=_STATE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

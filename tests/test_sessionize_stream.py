@@ -81,3 +81,66 @@ def test_stream_sessionize_matches_batch_oracle(spark, tmp_path):
     assert open_last == want_open
     # the boundary-spanning session really was stitched across batches
     assert want_open[1] == (300, 300, 1) and (1, 200, 205, 2) in closed
+
+
+def test_idle_timeout_closes_session_and_drops_state(spark, tmp_path):
+    """Bounded state: a user idle past the processing-time timeout has the
+    open session emitted as closed and the state removed; an event after
+    expiry starts a FRESH session (no stale state)."""
+    import os
+    import time as _time
+
+    ev_dir = tmp_path / "ev"
+    os.makedirs(ev_dir)
+
+    def drop(name, rows, mtime):
+        p = ev_dir / name
+        with open(p, "w") as f:
+            for u, t in rows:
+                f.write(json.dumps({"user_id": u, "ts": t}) + "\n")
+        os.utime(p, (mtime, mtime))
+
+    drop("b0.json", [(1, 100), (1, 105)], 1_700_000_000)
+
+    stream = spark.readStream.schema("user_id long, ts long").option(
+        "maxFilesPerTrigger", "1"
+    ).json(str(ev_dir))
+    q = (
+        sessionize_stream(stream, gap=10, idle_timeout_ms=1)
+        .writeStream.format("memory").queryName("sess_ttl")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .outputMode("update")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        def rows():
+            return spark.sql("SELECT * FROM sess_ttl").collect()
+
+        t0 = _time.monotonic()
+        while _time.monotonic() - t0 < 60:
+            # expiry fires on a later microbatch: the session from b0 must
+            # eventually be emitted CLOSED by the timeout path
+            closed = [r for r in rows()
+                      if r["closed"] and r["session_start"] == 100]
+            if closed:
+                break
+            _time.sleep(1)
+        assert closed and closed[0]["n_events"] == 2
+
+        # post-expiry event: fresh session (state was removed, so the new
+        # session does NOT merge with the long-expired one despite ts gap
+        # semantics never firing inside event time)
+        drop("b1.json", [(1, 107)], 1_700_000_001)
+        t0 = _time.monotonic()
+        fresh = None
+        while _time.monotonic() - t0 < 60:
+            fresh = [r for r in rows()
+                     if not r["closed"] and r["session_start"] == 107]
+            if fresh:
+                break
+            _time.sleep(1)
+        assert fresh and fresh[0]["n_events"] == 1
+    finally:
+        q.stop()
+        q.awaitTermination()

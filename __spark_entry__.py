@@ -352,6 +352,40 @@ def q_sessionize_stream_stateful(spark, sf):
     )
 
 
+def q_windowed_counts_stream(spark, sf):
+    """Watermarked tumbling-window aggregation (streaming/windows.py) run
+    availableNow over the events table: append-mode emits exactly the
+    windows whose end the final watermark (max event time − 30 min) has
+    passed. The DuckDB oracle recomputes the same hour windows and applies
+    the identical finalization cut."""
+    import tempfile
+    import uuid
+
+    from py_mongo_sync_spark.streaming.windows import windowed_event_counts
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, "
+                                "event_type string, value double, props string")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+        .select("event_type", F.col("ts").cast("timestamp_ltz").alias("ts"))
+    )
+    name = f"win_{uuid.uuid4().hex[:12]}"
+    q = (
+        windowed_event_counts(stream, ts_col="ts", key_col="event_type",
+                              window="1 hour", watermark="30 minutes")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="win_cp_"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("window_start").cast("long").alias("window_start"),
+        F.col("window_end").cast("long").alias("window_end"),
+        "event_type", "n_events",
+    )
+
+
 def q_value_percentiles(spark, sf):
     """Exact percentiles per group (sort-based aggregate)."""
     ev = _t(spark, sf, "events")
@@ -641,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_norms": q_embedding_label_norms,
         "sessionize_events": q_sessionize_events,
         "sessionize_stream_stateful": q_sessionize_stream_stateful,
+        "windowed_counts_stream": q_windowed_counts_stream,
         "value_percentiles": q_value_percentiles,
         "rollup_lineitem": q_rollup_lineitem,
         "pivot_event_counts": q_pivot_event_counts,
@@ -835,6 +870,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(t) AS session_start, max(t) AS session_end,
                    count(*) AS n_events
             FROM sess GROUP BY user_id, session_id
+        """,
+        "windowed_counts_stream": """
+            WITH e AS (SELECT event_type, epoch(ts) AS sec FROM events),
+            agg AS (
+                SELECT (floor(sec / 3600) * 3600)::BIGINT AS window_start,
+                       event_type, count(*) AS n_events
+                FROM e GROUP BY 1, 2
+            )
+            SELECT window_start, window_start + 3600 AS window_end,
+                   event_type, n_events
+            FROM agg
+            WHERE window_start + 3600 <=
+                  (SELECT floor(epoch(max(ts)))::BIGINT - 1800 FROM events)
         """,
         "value_percentiles": """
             SELECT event_type,

@@ -345,3 +345,37 @@ def test_read_changes_incremental_changelog(spark, tmp_path):
                       ("b", 1): "delete", ("c", 2): "update"}
     # identical versions: empty
     assert t.read_changes(v2, v2).count() == 0
+
+
+def test_read_changes_roundtrip_reconstructs_new_state(spark, tmp_path):
+    """The consumer contract: OLD live snapshot + changelog = NEW live
+    snapshot, exactly — (inserts ∪ updates) upsert, deletes remove."""
+    t = _mk(spark, tmp_path, [
+        (f"c{i}", i % 3, f"t{i}", TS[i % 10]) for i in range(12)
+    ], n_buckets=4)
+    v1 = t.latest_version()
+    t.merge(_src(spark, [
+        ("c1", 1, "u1", TS[5], "u", False),
+        ("c4", 1, None, TS[6], "d", False),
+        ("x9", 9, "nine", TS[7], "u", False),
+    ]), batch_id=1)
+    t.merge(_src(spark, [
+        ("c2", 2, "u2", TS[8], "u", False),
+        ("x9", 9, None, TS[9], "d", False),   # insert then delete across span
+    ]), batch_id=2)
+
+    old = {(r["conv_id"], r["turn_idx"]): r["text"]
+           for r in t.read(version=v1).collect()}
+    new = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t.read().collect()}
+    state = dict(old)
+    for r in t.read_changes(v1).collect():
+        key = (r["conv_id"], r["turn_idx"])
+        if r["_change_type"] == "delete":
+            state.pop(key, None)
+        else:
+            state[key] = r["text"]
+    assert state == new
+    # x9: inserted after v1 and deleted again before the end — classified
+    # as neither insert nor delete relative to (v1, latest)
+    keys = {(r["conv_id"], r["turn_idx"]) for r in t.read_changes(v1).collect()}
+    assert ("x9", 9) not in keys

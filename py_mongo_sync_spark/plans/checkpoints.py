@@ -60,6 +60,11 @@ class CheckpointLog:
                 "committed_at_seq": pa.array(
                     [int(r["committed_at_seq"]) for r in rows], pa.int64()
                 ),
+                "table_version": pa.array(
+                    [None if r.get("table_version") is None
+                     else int(r["table_version"]) for r in rows],
+                    pa.int64(),
+                ),
             }
         )
         final = os.path.join(

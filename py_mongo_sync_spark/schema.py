@@ -69,6 +69,10 @@ CHECKPOINT_SCHEMA = T.StructType(
         T.StructField("n_events", T.LongType(), False),
         T.StructField("wall_ms", T.LongType(), False),
         T.StructField("committed_at_seq", T.LongType(), False),
+        # table version this batch committed (nullable: pre-r3 lineage
+        # files read back NULL) — lets a consumer map batch → version →
+        # LakeTable.read_changes without touching the manifest chain
+        T.StructField("table_version", T.LongType(), True),
     ]
 )
 

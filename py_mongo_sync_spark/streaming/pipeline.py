@@ -569,6 +569,7 @@ class CdcPipeline:
                     "n_events": r["n"],
                     "wall_ms": wall_ms,
                     "committed_at_seq": batch_id,
+                    "table_version": res.get("version"),
                 }
                 for r in probe["bucket_stats"]
             ]
@@ -580,6 +581,7 @@ class CdcPipeline:
                     "batch_id": batch_id, "partition_id": -2, "max_ts": None,
                     "n_events": ddl_stats["skipped"], "wall_ms": wall_ms,
                     "committed_at_seq": batch_id,
+                    "table_version": res.get("version"),
                 })
             self.cplog.append(rows)
             # storage lifecycle: a continuous stream creates one version per

@@ -118,3 +118,34 @@ def test_checkpoint_log_compaction(spark, tmp_path):
     assert log.read().count() == 600             # every lineage row intact
     assert log.high_watermark() == 1299
     assert log.compact(min_files=256, keep_recent=8) == 0   # idempotent
+
+
+def test_lineage_records_table_version_for_changelog_consumers(spark, tmp_path):
+    """Lineage rows carry the committed table version, so a downstream
+    consumer maps batch → version → LakeTable.read_changes without
+    touching the manifest chain."""
+    from py_mongo_sync_spark.config import SyncConfig
+    from py_mongo_sync_spark.sources.generate import (
+        gen_oplog_events,
+        gen_transcripts_snapshot,
+    )
+    from py_mongo_sync_spark.streaming.pipeline import CdcPipeline
+
+    cfg = SyncConfig(dst_path=str(tmp_path / "l"),
+                     checkpoint_path=str(tmp_path / "c"), n_buckets=2)
+    pipe = CdcPipeline(spark, cfg)
+    pipe.initial_sync(gen_transcripts_snapshot(spark, 8, 3))
+    ev = gen_oplog_events(spark, 8, 3, 120)
+    pipe.apply_batch(ev.where("ts % 2 = 0"), 0)
+    pipe.apply_batch(ev.where("ts % 2 = 1"), 1)
+
+    cp = pipe.cplog.read().toPandas()
+    versions = (cp.groupby("batch_id")["table_version"].first().to_dict())
+    assert set(versions) == {0, 1}
+    v0, v1 = int(versions[0]), int(versions[1])
+    assert v1 > v0 >= 1
+    # consumer contract: diff the versions the lineage names
+    ch = pipe.table.read_changes(v0, v1)
+    assert ch.count() > 0
+    assert set(ch.select("_change_type").distinct().toPandas()["_change_type"]) \
+        <= {"insert", "update", "delete"}

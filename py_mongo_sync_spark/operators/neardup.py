@@ -208,13 +208,22 @@ def _components_loop(
         .withColumn("label", F.col("node"))
     )
     sym = sym.persist()
+    # Each round's result is eagerly localCheckpoint-ed: the pointer-doubling
+    # self-join references the previous labels twice (and the hop twice more),
+    # so a bare persist() — which caches DATA but keeps the LOGICAL PLAN —
+    # grows the plan tree ~4x per round; by round ~7 plan stringification
+    # alone OOMs an 8 GiB driver regardless of data size. localCheckpoint
+    # materializes to executor-local storage AND truncates lineage, so every
+    # round starts from a flat leaf. (At cluster scale with executor loss,
+    # swap for reliable .checkpoint() against the checkpoint dir — same call
+    # shape; local mode has no executor churn.)
+    labels = labels.localCheckpoint(eager=True)
     # labels only ever DECREASE, so sum(label) is a strictly-monotone
     # fixpoint detector: convergence ⇔ the sum stops falling — one cheap
     # aggregate per round instead of a join against the previous labels
     prev_sum = None
     try:
         for rnd in range(max_rounds):
-            labels = labels.persist()
             # (a) neighbor-min hop
             neigh = (
                 sym.join(labels, sym["dst"] == labels["node"])
@@ -242,7 +251,7 @@ def _components_loop(
                         ).alias("label"),
                     )
                 )
-            new = hop.persist()
+            new = hop.localCheckpoint(eager=True)
             cur_sum = new.agg(F.sum("label")).first()[0]
             labels.unpersist()
             labels = new

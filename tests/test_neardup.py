@@ -6,6 +6,7 @@ from __future__ import annotations
 import itertools
 
 import pytest
+from pyspark.sql import functions as F
 
 from py_mongo_sync_spark.operators.neardup import (
     banded_signature_rows,
@@ -143,7 +144,7 @@ def random_edge_sets(draw):
 
 
 @settings(
-    max_examples=4, deadline=None,
+    max_examples=4, deadline=None, derandomize=True,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 @given(random_edge_sets())
@@ -177,3 +178,26 @@ def test_components_match_union_find_on_random_graphs(spark, edges):
                 for r in connected_components_min_label(
                     df, max_rounds=10, driver_threshold=0).collect()}
     assert got_loop == expect
+
+
+def test_long_chain_many_rounds_does_not_blow_up_plan(spark):
+    """Regression for the round-3 driver OOM: the pointer-doubling loop used
+    bare persist(), which caches data but keeps the logical plan — the plan
+    tree grew ~4x per round and plan stringification alone exhausted an
+    8 GiB driver heap by round ~7, on ANY data size. With per-round eager
+    localCheckpoint the plan is truncated each round, so a 2000-node chain
+    (needs ~13 rounds WITH doubling engaged; plain hops would need 2000)
+    must converge on the distributed tier without driver distress."""
+    n = 2000
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    got = connected_components_min_label(
+        edges, max_rounds=20, driver_threshold=0
+    )
+    agg = got.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("cluster_id").alias("k"),
+        F.max("cluster_id").alias("mx"),
+    ).first()
+    assert agg["n"] == n and agg["k"] == 1 and agg["mx"] == 0

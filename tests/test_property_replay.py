@@ -69,7 +69,7 @@ import pytest
 
 @pytest.mark.parametrize("write_mode", ["cow", "mor"])
 @settings(
-    max_examples=6, deadline=None,
+    max_examples=6, deadline=None, derandomize=True,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 @given(event_sequences())

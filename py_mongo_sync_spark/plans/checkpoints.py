@@ -31,6 +31,12 @@ class CheckpointLog:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        #: Stream-instance epoch stamped onto every appended row (set by
+        #: CdcPipeline.run_stream alongside LakeTable.epoch). Batch ids
+        #: restart at 0 under a fresh Spark checkpoint, so without the
+        #: epoch two stream instances' (batch_id, partition_id) rows
+        #: collide and read()'s dedup silently drops one from audits.
+        self.epoch: str | None = None
 
     def exists(self) -> bool:
         return os.path.isdir(self.path) and any(
@@ -65,6 +71,9 @@ class CheckpointLog:
                      else int(r["table_version"]) for r in rows],
                     pa.int64(),
                 ),
+                "epoch": pa.array(
+                    [r.get("epoch", self.epoch) for r in rows], pa.string()
+                ),
             }
         )
         final = os.path.join(
@@ -81,10 +90,14 @@ class CheckpointLog:
         # compacted-file rename and source deletion leaves rows duplicated
         # once, which this collapses (keys are unique per commit by
         # construction)
+        # epoch is part of the key: fresh-checkpoint stream instances reuse
+        # batch ids 0..N, and dropping one instance's rows as "duplicates"
+        # of another's would falsify n_events/lineage audits (NULL epochs —
+        # pre-epoch files — compare equal to each other only)
         return (
             self.spark.read.schema(CHECKPOINT_SCHEMA)
             .parquet(self.path)
-            .dropDuplicates(["batch_id", "partition_id"])
+            .dropDuplicates(["epoch", "batch_id", "partition_id"])
         )
 
     def compact(self, min_files: int = 256, keep_recent: int = 8) -> int:
@@ -111,7 +124,13 @@ class CheckpointLog:
         import pyarrow as pa
 
         tables = [pq.read_table(os.path.join(self.path, f)) for f in victims]
-        merged = pa.concat_tables(tables)
+        # permissive: logs spanning schema additions (table_version in r3,
+        # epoch in r4) mix file schemas — missing columns null-fill instead
+        # of raising on the first compaction after an upgrade
+        try:
+            merged = pa.concat_tables(tables, promote_options="permissive")
+        except TypeError:  # older pyarrow spelling
+            merged = pa.concat_tables(tables, promote=True)
         final = os.path.join(self.path, f"compacted-{uuid.uuid4().hex}.parquet")
         tmp = final + ".tmp"
         pq.write_table(merged, tmp)

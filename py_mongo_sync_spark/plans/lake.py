@@ -136,6 +136,7 @@ class LakeTable:
             return int(f.read().strip())
 
     def manifest(self, version: int | None = None) -> dict:
+        self._repair_pending_rename()  # cheap existence probe; see rename_to
         if version is None:
             version = self.latest_version()
         with open(os.path.join(self._versions_dir, f"v{version:08d}.json")) as f:
@@ -153,6 +154,12 @@ class LakeTable:
 
     _BATCH_WINDOW = 64
 
+    #: A claimed-but-unpointed v{N}.json younger than this is an IN-FLIGHT
+    #: commit (claim→pointer-swap window), not a crashed orphan; skipping it
+    #: would silently drop its MERGE. Far above any real swap latency (two
+    #: local file ops), far below operator response time to a true crash.
+    ORPHAN_GRACE_SECONDS = 60.0
+
     @staticmethod
     def _committed_state(m: dict) -> tuple[int | None, list[int]]:
         if "recent_batch_ids" in m:
@@ -162,13 +169,11 @@ class LakeTable:
 
     def is_committed(self, batch_id: int, m: dict | None = None) -> bool:
         m = m or self.manifest()
-        if (
-            self.epoch is not None
-            and m.get("epoch") is not None
-            and m["epoch"] != self.epoch
-        ):
-            # different stream instance: its batch ids restarted at 0, so
-            # the previous epoch's window says nothing about this batch
+        if self.epoch is not None and m.get("epoch") != self.epoch:
+            # different id sequence — INCLUDING a manifest with no epoch at
+            # all (populated by direct batch callers): its recent window
+            # says nothing about this stream's ids. Replaying is
+            # idempotent-safe; skipping would be data loss.
             return False
         mx, recent = self._committed_state(m)
         if batch_id in recent:
@@ -217,8 +222,12 @@ class LakeTable:
 
         - crash between claim and swap: pointer stays at the old version;
           the orphan manifest is detected on the next commit (pointer did
-          not advance) and skipped by taking the next version number —
-          orphans stay harmless.
+          not advance AND the claim is older than ``ORPHAN_GRACE_SECONDS``)
+          and skipped by taking the next version number — orphans stay
+          harmless. A YOUNG unpointed claim is an in-flight concurrent
+          writer, not an orphan: skipping it would build the next version
+          on the stale manifest and lose its MERGE, so it raises
+          ``CommitConflict`` instead (caller re-reads and retries).
         - concurrent second writer (zombie driver after failover, the
           classic dual-committer case): it loses the claim AND observes the
           pointer advanced → ``CommitConflict`` instead of silently
@@ -240,8 +249,22 @@ class LakeTable:
                         "concurrent writer (table now at "
                         f"v{latest}) — re-read and retry the merge"
                     )
-                # pointer never advanced to `version`: a crashed writer's
-                # orphan claim — skip over it
+                # pointer never advanced to `version`: either a crashed
+                # writer's orphan claim (safe to skip) or a LIVE writer in
+                # its claim-to-swap window — skipping THAT would commit
+                # v{N+1} built on the stale pre-v{N} manifest and silently
+                # drop the in-flight MERGE. Claim age disambiguates: only
+                # claims older than the grace period are treated as dead.
+                try:
+                    age = time.time() - os.path.getmtime(mpath)
+                except OSError:
+                    age = 0.0  # claim vanished mid-look: treat as in-flight
+                if age < self.ORPHAN_GRACE_SECONDS:
+                    raise CommitConflict(
+                        f"{self.path}: version {version} is claimed by an "
+                        f"in-flight writer (claim age {age:.1f}s < grace "
+                        f"{self.ORPHAN_GRACE_SECONDS}s) — re-read and retry"
+                    )
                 version += 1
         manifest = dict(manifest, version=version)
         with os.fdopen(fd, "w") as f:
@@ -907,22 +930,61 @@ class LakeTable:
                   "n_delta_files int, write_mode string, is_latest boolean")
         return self.spark.createDataFrame(rows, schema)
 
+    #: Marker persisted INSIDE the table dir for the duration of a rename:
+    #: written (with the pre-move path) before ``os.rename`` and removed
+    #: only after every manifest's path prefixes are rewritten, so a crash
+    #: anywhere in between is repaired by the next open (see
+    #: :meth:`_repair_pending_rename`).
+    _RENAME_MARKER = "_PENDING_RENAME_FROM"
+
     def rename_to(self, new_path: str) -> None:
         """Metadata-level table move (the lake analogue of the reference's
         replayed renameCollection command, mongo/handler.py:156-163, and of
         an Iceberg catalog rename): ONE directory rename — no data rewrite —
         then a path-prefix rewrite over the version manifests, whose file
-        lists are absolute. Same-filesystem ``os.rename`` is atomic; a crash
-        between the move and the manifest rewrite leaves manifests pointing
-        at the old prefix, which the rewrite-on-next-open below repairs
-        (prefix fixing is idempotent)."""
+        lists are absolute. Same-filesystem ``os.rename`` is atomic; crash
+        safety comes from the ``_PENDING_RENAME_FROM`` marker written before
+        the move: if the process dies between the move and the manifest
+        rewrite, the marker (now inside the moved dir, carrying the old
+        prefix) makes the next ``manifest()``/``read()`` re-run the — fully
+        idempotent — prefix rewrite before serving any paths."""
         new_path = os.path.normpath(new_path)
         old_path = os.path.normpath(self.path)
         if os.path.exists(new_path):
             raise FileExistsError(f"rename target exists: {new_path}")
+        marker = os.path.join(old_path, self._RENAME_MARKER)
+        tmp = marker + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(old_path)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, marker)
         os.makedirs(os.path.dirname(new_path), exist_ok=True)
         os.rename(old_path, new_path)
         self.path = new_path
+        self._fix_manifest_prefixes(old_path)
+        os.remove(os.path.join(new_path, self._RENAME_MARKER))
+
+    def _repair_pending_rename(self) -> None:
+        """Finish a crashed :meth:`rename_to`: if the marker survives, the
+        manifests may still carry the pre-move path prefix — rewrite them
+        against the CURRENT path (a no-op for any manifest already fixed)
+        and only then drop the marker. Called from :meth:`manifest`, so no
+        read can observe stale absolute paths."""
+        marker = os.path.join(self.path, self._RENAME_MARKER)
+        if not os.path.exists(marker):
+            return
+        with open(marker) as f:
+            old_path = f.read().strip()
+        if old_path and old_path != os.path.normpath(self.path):
+            self._fix_manifest_prefixes(old_path)
+        os.remove(marker)
+
+    def _fix_manifest_prefixes(self, old_path: str) -> None:
+        """Rewrite every version manifest's absolute file paths from
+        ``old_path`` to the current ``self.path`` (idempotent: paths not
+        under the old prefix pass through untouched)."""
+        new_path = os.path.normpath(self.path)
 
         def fix(p: str) -> str:
             return new_path + p[len(old_path):] if p.startswith(old_path + os.sep) else p

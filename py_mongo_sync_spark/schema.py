@@ -73,6 +73,12 @@ CHECKPOINT_SCHEMA = T.StructType(
         # files read back NULL) — lets a consumer map batch → version →
         # LakeTable.read_changes without touching the manifest chain
         T.StructField("table_version", T.LongType(), True),
+        # stream epoch that produced the row (nullable: pre-r4 files and
+        # direct batch callers read back NULL). Batch ids restart at 0
+        # after a fresh Spark checkpoint, so (batch_id, partition_id)
+        # alone collides across stream instances — the epoch scopes the
+        # dedup key so one instance's lineage can't shadow another's.
+        T.StructField("epoch", T.StringType(), True),
     ]
 )
 

@@ -80,9 +80,11 @@ class SearchDocSink:
         if not self.exists():
             return False
         m = self._meta()
-        if (self.epoch is not None and m.get("epoch") is not None
-                and m["epoch"] != self.epoch):
-            return False  # new stream instance: ids restarted at 0
+        if self.epoch is not None and m.get("epoch") != self.epoch:
+            # different id sequence — INCLUDING an epoch-less meta written
+            # by direct batch callers (bulk_load / apply without a stream):
+            # replaying is idempotent-safe, skipping is data loss
+            return False
         recent = m.get("recent_batch_ids", [])
         return batch_id in recent or (bool(recent) and batch_id < min(recent))
 
@@ -154,6 +156,11 @@ class SearchDocSink:
             raise FileNotFoundError(f"no index at {self.path}")
         m = self._meta()
         schema = T.StructType.fromJson(m["schema"])
+        # the COMMITTED bucket count is authoritative: a reader handle
+        # constructed with the default n_buckets against an index built
+        # with more would otherwise silently return only the first
+        # default-count buckets (apply_net_events already refreshes)
+        self.n_buckets = m.get("n_buckets", self.n_buckets)
         want = range(self.n_buckets) if buckets is None else buckets
         paths = [
             self._bucket_dir(m["buckets"][str(b)], b)

@@ -622,6 +622,7 @@ class CdcPipeline:
         microbatches like the reference's infinite tail loop
         (mongo/syncer.py:239-366)."""
         self.table.epoch = checkpoint_epoch(spark_checkpoint_dir)
+        self.cplog.epoch = self.table.epoch
         writer = (
             events_stream.writeStream.foreachBatch(
                 lambda df, bid: self.apply_batch(df, bid)
@@ -770,6 +771,7 @@ class MultiCdcPipeline:
         epoch = checkpoint_epoch(spark_checkpoint_dir)
         for p in self.pipes.values():
             p.table.epoch = epoch
+            p.cplog.epoch = epoch
         writer = (
             events_stream.writeStream.foreachBatch(
                 lambda df, bid: self.apply_batch(df, bid)

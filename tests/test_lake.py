@@ -230,8 +230,9 @@ def test_commit_conflict_detected_not_lost(spark, tmp_path):
 
 
 def test_commit_skips_crashed_writer_orphan(spark, tmp_path):
-    """A manifest claimed by a crashed writer (file exists, pointer never
-    advanced) must not wedge the table: the next commit skips over it."""
+    """A manifest claimed by a writer that crashed LONG AGO (file exists,
+    pointer never advanced, claim older than the grace period) must not
+    wedge the table: the next commit skips over it."""
     import json as _json
     import os
 
@@ -240,10 +241,35 @@ def test_commit_skips_crashed_writer_orphan(spark, tmp_path):
     orphan = os.path.join(t._versions_dir, f"v{v + 1:08d}.json")
     with open(orphan, "w") as f:
         _json.dump({"version": v + 1, "crashed": True}, f)
+    old = 1_700_000_000  # well past ORPHAN_GRACE_SECONDS
+    os.utime(orphan, (old, old))
     res = t.merge(_src(spark, [("a", 0, "x2", TS[1], "u", False)]), batch_id=1)
     assert not res["skipped"]
     assert t.latest_version() == v + 2     # orphan v+1 skipped, not wedged
     assert t.read().first()["text"] == "x2"
+
+
+def test_commit_conflicts_on_inflight_young_claim(spark, tmp_path):
+    """TOCTOU guard: a FRESH claimed-but-unpointed manifest is a concurrent
+    writer inside its claim→pointer-swap window, NOT a crashed orphan.
+    Skipping it would commit the next version on the stale pre-claim
+    manifest and silently lose the in-flight MERGE — the commit must raise
+    CommitConflict so the caller re-reads and retries."""
+    import json as _json
+    import os
+
+    import pytest
+
+    from py_mongo_sync_spark.plans.lake import CommitConflict
+
+    t = _mk(spark, tmp_path, [("a", 0, "x", TS[0])])
+    v = t.latest_version()
+    claim = os.path.join(t._versions_dir, f"v{v + 1:08d}.json")
+    with open(claim, "w") as f:
+        _json.dump({"version": v + 1, "inflight": True}, f)  # mtime = now
+    with pytest.raises(CommitConflict, match="in-flight"):
+        t.merge(_src(spark, [("a", 0, "x2", TS[1], "u", False)]), batch_id=1)
+    assert t.latest_version() == v  # loser wrote nothing past the claim
 
 
 def test_history_inspection(spark, tmp_path):
@@ -379,3 +405,34 @@ def test_read_changes_roundtrip_reconstructs_new_state(spark, tmp_path):
     # as neither insert nor delete relative to (v1, latest)
     keys = {(r["conv_id"], r["turn_idx"]) for r in t.read_changes(v1).collect()}
     assert ("x9", 9) not in keys
+
+
+def test_crashed_rename_repaired_on_next_open(spark, tmp_path):
+    """A crash between rename_to's directory move and its manifest prefix
+    rewrite must NOT strand the table: the persisted _PENDING_RENAME_FROM
+    marker makes the next open re-run the (idempotent) rewrite, so reads
+    resolve the moved data files. Previously the repair was only claimed in
+    a docstring — manifests kept absolute paths under the dead old prefix
+    and every read() failed until manual surgery."""
+    import os
+
+    t = _mk(spark, tmp_path, [("a", 0, "x", TS[0]), ("b", 1, "y", TS[1])])
+    old_path = os.path.normpath(t.path)
+    new_path = os.path.join(str(tmp_path), "moved_table")
+    # simulate the crash window: marker written, dir moved, process dies
+    # BEFORE any manifest is rewritten
+    marker = os.path.join(old_path, LakeTable._RENAME_MARKER)
+    with open(marker, "w") as f:
+        f.write(old_path)
+    os.rename(old_path, new_path)
+
+    t2 = LakeTable(spark, new_path)  # fresh open, as after restart
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t2.read().collect()}
+    assert got == {("a", 0): "x", ("b", 1): "y"}
+    assert not os.path.exists(os.path.join(new_path, LakeTable._RENAME_MARKER))
+    # repair must be durable: the manifests themselves now carry new-prefix
+    # paths (not just this handle's in-memory view)
+    m = LakeTable(spark, new_path).manifest()
+    for fs in m["buckets"].values():
+        for p in fs:
+            assert p.startswith(new_path + os.sep)

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import Any, Iterable, Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -66,28 +67,55 @@ def _session_kernel(gap: int, idle_timeout_ms: int | None):
                              "n_events", "closed"],
                 )
             return
-        ts = pd.concat([p["ts"] for p in pdfs]).sort_values().to_numpy()
+        ts = (
+            pd.concat([p["ts"] for p in pdfs])
+            .sort_values().to_numpy(dtype="int64")
+        )
         if len(ts) == 0:
             return
         cur = state.get if state.exists else None  # (start, end, n)
-        out = []
-        for t in ts:
-            t = int(t)
-            if cur is None:
-                cur = (t, t, 1)
-            elif t - cur[1] <= gap:
-                cur = (cur[0], max(cur[1], t), cur[2] + 1)
-            else:
-                out.append((user_id, cur[0], cur[1], cur[2], True))
-                cur = (t, t, 1)
-        state.update(cur)
+        if cur is None:
+            start0, end0, n0 = int(ts[0]), int(ts[0]), 0
+        else:
+            start0, end0, n0 = int(cur[0]), int(cur[1]), int(cur[2])
+        m = len(ts)
+        # Vectorized gap segmentation — the batch is folded with numpy array
+        # ops, never a per-event Python loop (a hot user with 10^5 events in
+        # one batch would otherwise pay interpreter speed inside the Arrow
+        # kernel). Sorted ts means the running session end before event i is
+        # max(seeded end, ts[i-1]); a session boundary sits wherever the
+        # event exceeds that by > gap.
+        prev_end = np.empty(m, dtype=np.int64)
+        prev_end[0] = end0
+        if m > 1:
+            np.maximum(ts[:-1], end0, out=prev_end[1:])
+        starts_idx = np.flatnonzero(ts - prev_end > gap)
+        # segment 0 continues the seeded session (possibly with zero new
+        # events, when the batch's first event already breaks the gap)
+        b0 = int(starts_idx[0]) if len(starts_idx) else m
+        if b0 > 0:
+            sess0 = (start0, max(end0, int(ts[b0 - 1])), n0 + b0)
+        else:
+            sess0 = (start0, end0, n0)
+        seg_b = np.concatenate((starts_idx[1:], [m])).astype(np.int64) \
+            if len(starts_idx) else np.empty(0, dtype=np.int64)
+        seg_start = np.concatenate(([sess0[0]], ts[starts_idx]))
+        seg_end = np.concatenate(([sess0[1]],
+                                  ts[seg_b - 1] if len(seg_b) else []))
+        seg_n = np.concatenate(([sess0[2]], seg_b - starts_idx))
+        k = len(seg_start)
+        state.update((int(seg_start[-1]), int(seg_end[-1]), int(seg_n[-1])))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
-        out.append((user_id, cur[0], cur[1], cur[2], False))  # live snapshot
-        yield pd.DataFrame(
-            out,
-            columns=["user_id", "session_start", "session_end", "n_events", "closed"],
-        )
+        closed = np.ones(k, dtype=bool)
+        closed[-1] = False  # the open session's live snapshot
+        yield pd.DataFrame({
+            "user_id": np.full(k, user_id, dtype=np.int64),
+            "session_start": seg_start.astype(np.int64),
+            "session_end": seg_end.astype(np.int64),
+            "n_events": seg_n.astype(np.int64),
+            "closed": closed,
+        })
 
     return fn
 

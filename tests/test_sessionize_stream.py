@@ -144,3 +144,84 @@ def test_idle_timeout_closes_session_and_drops_state(spark, tmp_path):
     finally:
         q.stop()
         q.awaitTermination()
+
+
+class _FakeState:
+    """Duck-typed GroupState: the kernel only touches these members."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def _loop_reference(ts_sorted, cur, gap):
+    """The pre-vectorization per-event fold — kept as the test oracle."""
+    out = []
+    for t in ts_sorted:
+        t = int(t)
+        if cur is None:
+            cur = (t, t, 1)
+        elif t - cur[1] <= gap:
+            cur = (cur[0], max(cur[1], t), cur[2] + 1)
+        else:
+            out.append((cur[0], cur[1], cur[2], True))
+            cur = (t, t, 1)
+    out.append((cur[0], cur[1], cur[2], False))
+    return out, cur
+
+
+def test_vectorized_kernel_matches_per_event_fold():
+    """The numpy gap-segmentation fold must be row-for-row identical to the
+    per-event loop it replaced, across seeded-state shapes: no state, state
+    the first event extends, state the first event breaks (zero-new-event
+    close), duplicate timestamps, and single-event batches."""
+    import random
+
+    import pandas as pd
+
+    from py_mongo_sync_spark.streaming.sessionize import _session_kernel
+
+    rng = random.Random(42)
+    kernel = _session_kernel(gap=10, idle_timeout_ms=None)
+    cases = [
+        (None, [5]),
+        (None, [5, 5, 5]),
+        ((0, 0, 3), [1]),        # extends
+        ((0, 0, 3), [100]),      # breaks: seeded closes with 0 new events
+        ((0, 50, 2), [40, 55, 70, 300, 301]),  # seeded end > first ts
+    ]
+    for _ in range(40):
+        n = rng.randint(1, 60)
+        tss = sorted(rng.randint(0, 200) for _ in range(n))
+        seed = None if rng.random() < 0.4 else (
+            (lambda s: (s, s + rng.randint(0, 30), rng.randint(1, 5)))(rng.randint(0, 150))
+        )
+        cases.append((seed, tss))
+    for seed, tss in cases:
+        st = _FakeState()
+        if seed is not None:
+            st.update(seed)
+        got = list(kernel((7,), iter([pd.DataFrame({"ts": tss})]), st))
+        rows = [tuple(r) for r in got[0][
+            ["session_start", "session_end", "n_events", "closed"]
+        ].itertuples(index=False)] if got else []
+        want, want_state = _loop_reference(sorted(tss), seed, 10)
+        assert rows == want, (seed, tss)
+        assert st.get == want_state[:3] if want_state else st.get is None

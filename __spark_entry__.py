@@ -593,6 +593,25 @@ def q_ann_ivf_topk(spark, sf):
     return top.select("vec_id", F.round("cos", 4).alias("cos_sim"))
 
 
+def q_ann_ivf_trained_topk(spark, sf):
+    """IVF ANN with the Lloyd-TRAINED quantizer
+    (functions/similarity.py::train_ivf_centroids): 3 distributed k-means
+    rounds refine the md5-stride init, then the same probe+rerank path.
+    Iterative (multi-round fixpoint) — not SQL-expressible, so no
+    oracle_sql entry: the driver records the rows-only check, and recall
+    parity vs stride is pinned in tests/test_training_ops.py."""
+    from py_mongo_sync_spark.functions.similarity import (
+        ivf_topk, train_ivf_centroids,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    corpus = e.where("vec_id <> 0")
+    cents = train_ivf_centroids(corpus, k_centroids=16, n_iter=2)
+    q = e.where("vec_id = 0").select("embedding")
+    top = ivf_topk(corpus, q, k=10, k_centroids=16, nprobe=2, centroids=cents)
+    return top.select("vec_id", F.round("cos", 4).alias("cos_sim"))
+
+
 def q_embedding_cosine_neardup(spark, sf):
     """Embedding-cosine near-dup pairs: LSH-bucket candidates + exact
     cosine >= 0.4 verify (functions/similarity.py::cosine_neardup_pairs);
@@ -690,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "embedding_cosine_neardup": q_embedding_cosine_neardup,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "quality_scores": q_quality_scores,
         "lang_id_heuristic": q_lang_id_heuristic,
         "multimodal_binary_meta": q_multimodal_binary_meta,

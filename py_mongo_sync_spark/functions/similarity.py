@@ -491,9 +491,50 @@ def _stride_centroids(emb, id_col, vec_col, k_centroids):
     )
 
 
+def train_ivf_centroids(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    k_centroids: int = 16, n_iter: int = 3,
+) -> DataFrame:
+    """Distributed Lloyd (k-means) refinement of the hash-sampled init —
+    the trained quantizer that completes the IVF story. Each round:
+    broadcast the current centroids → nearest-cosine assignment over the
+    corpus → per-cluster elementwise mean via posexplode + one
+    groupBy(cluster, pos) — fully distributed, no driver data motion —
+    then the ≤ ``k_centroids`` mean rows are collected (bounded by a
+    structural constant, never corpus size) and rebuilt as a fresh frame
+    so the per-round plan stays flat. Clusters that lose all members keep
+    their previous centroid. Deterministic end to end: init is the md5
+    stride sample, assignment ties break on centroid id."""
+    cents = _stride_centroids(emb, id_col, vec_col, k_centroids)
+    spark = emb.sparkSession
+    for _ in range(n_iter):
+        asg = ivf_assignments(emb, id_col, vec_col, k_centroids,
+                              centroids=cents)
+        means = (
+            asg.select(
+                "centroid_id",
+                F.posexplode(
+                    F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                ).alias("_pos", "_x"),
+            )
+            .groupBy("centroid_id", "_pos").agg(F.avg("_x").alias("_m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_pm"))
+            .select(
+                F.col("centroid_id").alias("_cid"),
+                F.transform("_pm", lambda s: s["_m"]).alias("_cvec"),
+            )
+        )
+        got = {r["_cid"]: r["_cvec"] for r in means.collect()}
+        merged = [(r["_cid"], got.get(r["_cid"], r["_cvec"]))
+                  for r in cents.collect()]
+        cents = spark.createDataFrame(merged, "_cid long, _cvec array<double>")
+    return cents
+
+
 def ivf_assignments(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    k_centroids: int = 16,
+    k_centroids: int = 16, centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse quantizer: every vector assigned to its nearest-cosine
     centroid. Centroids are ``k_centroids`` id-ordered STRIDE-spaced corpus
@@ -503,10 +544,14 @@ def ivf_assignments(
     implements) and spread across the corpus (the lowest-k ids would all
     come from one id-range/cluster and fragment its inverted lists).
     Assignment is a broadcast join against the tiny centroid set + one
-    row_number per vector; ties break on centroid id."""
+    row_number per vector; ties break on centroid id. ``centroids``
+    (``(_cid long, _cvec array<double>)``, e.g. from
+    :func:`train_ivf_centroids` or threaded through by :func:`ivf_topk`)
+    overrides the stride sample."""
     from pyspark.sql import Window
 
-    cents = _stride_centroids(emb, id_col, vec_col, k_centroids)
+    cents = centroids if centroids is not None else _stride_centroids(
+        emb, id_col, vec_col, k_centroids)
     dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     cv = F.transform(F.col("_cvec"), lambda x: x.cast("double"))
     w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("_cid"))
@@ -522,17 +567,22 @@ def ivf_assignments(
 def ivf_topk(
     emb: DataFrame, query_vec: DataFrame, id_col: str = "vec_id",
     vec_col: str = "embedding", k: int = 10, k_centroids: int = 16,
-    nprobe: int = 2,
+    nprobe: int = 2, centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN (the second scale path next to hyperplane LSH): rank
     the query against the centroids, scan only the ``nprobe`` nearest
     centroids' inverted lists (~nprobe/k_centroids of the corpus), exact
     cosine rerank inside. Raising nprobe trades scan for recall exactly
-    like LSH multiprobe."""
+    like LSH multiprobe. The centroid set is computed ONCE and threaded
+    into both the probe ranking and the assignment (it used to be sampled
+    twice: two orderBy+collect jobs per query); pass
+    ``centroids=train_ivf_centroids(...)`` for the Lloyd-trained
+    quantizer."""
     from pyspark.sql import Window
 
-    asg = ivf_assignments(emb, id_col, vec_col, k_centroids)
-    cents = _stride_centroids(emb, id_col, vec_col, k_centroids)
+    cents = centroids if centroids is not None else _stride_centroids(
+        emb, id_col, vec_col, k_centroids)
+    asg = ivf_assignments(emb, id_col, vec_col, k_centroids, centroids=cents)
     qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     cv = F.transform(F.col("_cvec"), lambda x: x.cast("double"))
     w = Window.orderBy(F.col("_qcos").desc(), F.col("_cid"))
@@ -551,7 +601,8 @@ def ivf_topk(
 def cosine_neardup_pairs(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.4, n_planes: int = 6, dim: int = 64,
-    weight_mode: str = "xxhash",
+    weight_mode: str = "xxhash", max_bucket: int = 256,
+    with_stats: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the vector-space member of
     the dedup family (exact / MinHash / SimHash / n-gram / THIS): vectors
@@ -561,31 +612,68 @@ def cosine_neardup_pairs(
     recall is bucket-limited exactly like single-probe ANN (borderline
     pairs split by a hyperplane are the loss — raise recall by lowering
     ``n_planes`` or unioning plane-flip bucket variants).
+
+    Mega-bucket guard (same as the MinHash path's): a bucket larger than
+    ``max_bucket`` emits one edge per member to the bucket's min-id
+    representative — O(c) instead of the O(c²) self-join that a clustered
+    corpus funneling 10⁷ vectors into one of 2^n_planes buckets would
+    otherwise explode into. Oversized buckets are COUNTED, not silently
+    truncated: ``with_stats=True`` returns ``(pairs, stats)`` where stats
+    has one row ``(bucket, n_vecs)`` per oversized bucket.
     Rows: (vec_a, vec_b, cos_sim)."""
     buckets = lsh_hyperplane_buckets(emb, id_col, vec_col, n_planes, dim, weight_mode)
-    a, b = buckets.alias("a"), buckets.alias("b")
-    da = F.transform(F.col(f"a.{vec_col}"), lambda x: x.cast("double"))
-    db = F.transform(F.col(f"b.{vec_col}"), lambda x: x.cast("double"))
+    sizes = buckets.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_rep")
+    )
+    tagged = buckets.join(sizes, "bucket")
+    a = tagged.where(F.col("_n") <= max_bucket).alias("a")
+    b = tagged.where(F.col("_n") <= max_bucket).alias("b")
+    small = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("_ia"), F.col(f"a.{vec_col}").alias("_va"),
+        F.col(f"b.{id_col}").alias("_ib"), F.col(f"b.{vec_col}").alias("_vb"),
+    )
+    # representative edges: the rep is the bucket min, so rep < member holds
+    # and the (vec_a < vec_b) orientation is preserved without a sort
+    reps = buckets.select(
+        F.col("bucket").alias("_rb"), F.col(id_col).alias("_rid"),
+        F.col(vec_col).alias("_rvec"),
+    )
+    big = tagged.where((F.col("_n") > max_bucket) & (F.col(id_col) != F.col("_rep")))
+    big_pairs = big.join(
+        reps, (big["bucket"] == reps["_rb"]) & (big["_rep"] == reps["_rid"])
+    ).select(
+        F.col("_rep").alias("_ia"), F.col("_rvec").alias("_va"),
+        F.col(id_col).alias("_ib"), F.col(vec_col).alias("_vb"),
+    )
+    da = F.transform(F.col("_va"), lambda x: x.cast("double"))
+    db = F.transform(F.col("_vb"), lambda x: x.cast("double"))
     cos = cosine_sim(da, db)
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+    pairs = (
+        small.unionByName(big_pairs)
         .where(cos >= threshold)
         .select(
-            F.col(f"a.{id_col}").alias("vec_a"),
-            F.col(f"b.{id_col}").alias("vec_b"),
+            F.col("_ia").alias("vec_a"),
+            F.col("_ib").alias("vec_b"),
             F.round(cos, 4).alias("cos_sim"),
         )
     )
+    if with_stats:
+        stats = sizes.where(F.col("_n") > max_bucket).select(
+            "bucket", F.col("_n").alias("n_vecs")
+        )
+        return pairs, stats
+    return pairs
 
 
 def ann_bucketed_topk(
     emb: DataFrame, query_vec: DataFrame, id_col: str = "vec_id",
     vec_col: str = "embedding", k: int = 10, n_planes: int = 8, dim: int = 64,
     weight_mode: str = "xxhash", multiprobe: int = 0,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """ANN: hash the query into its LSH bucket, rank only the candidate
     buckets. ``multiprobe`` is the Hamming radius of NEIGHBOR buckets also
@@ -595,7 +683,14 @@ def ann_bucketed_topk(
     them at the cost of scanning sum_{i<=r} C(n_planes, i) buckets instead
     of one (still ≪ corpus; radius 1 with 6 planes = 7/64 of the space).
     Measured on the sf0.01 embeddings fixture (tests/test_training_ops.py):
-    recall@10 vs exact brute force rises from 0.5 (r=0) to ≥0.9 (r=1)."""
+    recall@10 vs exact brute force rises from 0.5 (r=0) to ≥0.9 (r=1).
+
+    ``max_bucket`` bounds the rerank set per probed bucket: an oversized
+    bucket keeps only its ``max_bucket`` members with smallest md5(id) —
+    a deterministic, oracle-reproducible truncation. Per-query rerank cost
+    is linear in candidate count (never a pair explosion), so the cap is a
+    latency bound, not a correctness guard; the window sorts CANDIDATES
+    (probed buckets only), never the corpus. None = uncapped."""
     import itertools
 
     buckets = lsh_hyperplane_buckets(emb, id_col, vec_col, n_planes, dim, weight_mode)
@@ -612,4 +707,14 @@ def ann_bucketed_topk(
         ).alias("_qb")
     )
     cand = buckets.join(F.broadcast(probed), F.col("bucket") == F.col("_qb"))
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("bucket").orderBy(
+            md5_long(F.col(id_col).cast("string"), 8), id_col
+        )
+        cand = (
+            cand.withColumn("_mr", F.row_number().over(w))
+            .where(F.col("_mr") <= max_bucket).drop("_mr")
+        )
     return brute_force_topk(cand, query_vec, id_col, vec_col, k)

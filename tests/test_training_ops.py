@@ -375,3 +375,120 @@ def test_multimodal_resize_and_feature_extract(spark):
     assert len(top) == 3
     with pytest.raises(NotImplementedError):
         extract_features(df, "payload", "doc_id")
+
+
+def test_cosine_neardup_mega_bucket_cap(spark):
+    """r3 VERDICT #3: a degenerate corpus whose vectors ALL share one LSH
+    bucket must emit O(c) representative edges (member ↔ bucket-min), not
+    the O(c²) self-join, with the overflow COUNTED in stats — the same
+    guard the MinHash path has. At 10⁹ vectors a clustered corpus puts
+    ~10⁷ in one of 2^n_planes buckets: 10¹³ pairs from one key without
+    this."""
+    import math
+
+    from py_mongo_sync_spark.functions.similarity import cosine_neardup_pairs
+
+    # identical vectors: one bucket, cos=1 for every pair
+    v = [1.0 / math.sqrt(8)] * 8
+    emb = spark.createDataFrame(
+        [(i, v) for i in range(40)], "vec_id long, embedding array<double>"
+    )
+    pairs, stats = cosine_neardup_pairs(
+        emb, threshold=0.9, n_planes=4, dim=8, max_bucket=8, with_stats=True
+    )
+    got = pairs.collect()
+    assert len(got) == 39                       # O(c): one edge per member
+    assert all(r["vec_a"] == 0 for r in got)    # all to the min-id rep
+    st = stats.collect()
+    assert len(st) == 1 and st[0]["n_vecs"] == 40  # counted, not silent
+    # uncapped on the same corpus: full pair set — cap default must not
+    # change small-bucket results (oracle parity at fixture scale)
+    assert cosine_neardup_pairs(
+        emb, threshold=0.9, n_planes=4, dim=8
+    ).count() == 40 * 39 // 2
+
+
+def test_ann_bucketed_max_bucket_cap(spark):
+    """Optional per-bucket rerank bound: an oversized candidate bucket is
+    truncated to its max_bucket smallest-md5 members (deterministic), so
+    per-query rerank cost is bounded; results stay a subset of the
+    uncapped candidates."""
+    import math
+    import random
+
+    rng = random.Random(3)
+    dim = 16
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    base = unit([rng.gauss(0, 1) for _ in range(dim)])
+    rows = [(i, unit([x + rng.gauss(0, 0.01) for x in base])) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where("vec_id = 0").select("embedding")
+    corpus = emb.where("vec_id <> 0")
+    capped = ann_bucketed_topk(
+        corpus, q, k=5, n_planes=2, dim=dim, multiprobe=2, max_bucket=10
+    ).collect()
+    assert 0 < len(capped) <= 5
+    # deterministic: same call → same rows
+    again = ann_bucketed_topk(
+        corpus, q, k=5, n_planes=2, dim=dim, multiprobe=2, max_bucket=10
+    ).collect()
+    assert [r["vec_id"] for r in capped] == [r["vec_id"] for r in again]
+
+
+def test_trained_ivf_beats_stride_on_two_scale_mixture(spark):
+    """r3 VERDICT #7: Lloyd-trained centroids. On a two-scale mixture —
+    one dominant blob plus small tight satellite clusters — the stride
+    sample puts most centroids in the blob and fragments/misses the
+    satellites; a few Lloyd rounds move them onto real cluster centers.
+    Trained recall@10 must beat stride on the mixture and match-or-beat
+    it on the plain clustered corpus."""
+    import math
+    import random
+
+    from py_mongo_sync_spark.functions.similarity import (
+        ivf_topk, train_ivf_centroids,
+    )
+
+    rng = random.Random(9)
+    dim = 32
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    def make_corpus(cluster_sizes, spread):
+        rows = []
+        for sz in cluster_sizes:
+            c = unit([rng.gauss(0, 1) for _ in range(dim)])
+            for _ in range(sz):
+                rows.append((len(rows), unit([x + rng.gauss(0, spread) for x in c])))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def recall(emb, qid, cents):
+        q = emb.where(f"vec_id = {qid}").select("embedding")
+        corpus = emb.where(f"vec_id <> {qid}")
+        exact = {r["vec_id"] for r in brute_force_topk(corpus, q, k=10).collect()}
+        got = {r["vec_id"] for r in ivf_topk(
+            corpus, q, k=10, k_centroids=8, nprobe=1, centroids=cents
+        ).collect()}
+        return len(got & exact) / 10
+
+    # two-scale mixture: 300-vector blob + 6 satellites of 15; query a
+    # satellite member — its neighbors are the satellite
+    mix = make_corpus([300] + [15] * 6, 0.04)
+    qid = 300 + 7  # inside the first satellite
+    stride_cents = None  # ivf_topk computes the stride sample itself
+    r_stride = recall(mix, qid, stride_cents)
+    trained = train_ivf_centroids(mix, k_centroids=8, n_iter=3)
+    r_trained = recall(mix, qid, trained)
+    assert r_trained > r_stride, (r_stride, r_trained)
+
+    clustered = make_corpus([40] * 8, 0.04)
+    r_s2 = recall(clustered, 1, None)
+    r_t2 = recall(clustered, 1,
+                  train_ivf_centroids(clustered, k_centroids=8, n_iter=3))
+    assert r_t2 >= r_s2, (r_s2, r_t2)

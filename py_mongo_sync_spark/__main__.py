@@ -153,6 +153,14 @@ def main(argv: list[str] | None = None) -> int:
         fmt=extras["events_format"],
     )
     spark_cp = args.spark_checkpoint or (cfg.checkpoint_path + "/_spark")
+    if args.follow:
+        # continuous tail: surface per-batch progress + the reference's
+        # delay gauge (common_syncer.py:246-260) as one JSON line per batch
+        pipe.on_batch_stats = lambda s: print(json.dumps({
+            "stage": "BATCH", "batch_id": s.get("batch_id"),
+            "n_events": s.get("n_events"),
+            "replication_lag_sec": s.get("replication_lag_sec"),
+        }), flush=True)
     q = pipe.run_stream(stream, spark_cp, available_now=not args.follow)
     if args.follow:
         q.awaitTermination()

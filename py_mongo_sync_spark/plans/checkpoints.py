@@ -147,6 +147,24 @@ class CheckpointLog:
         row = self.read().agg({"max_ts": "max"}).first()
         return None if row[0] is None else int(row[0])
 
+    def replication_lag_seconds(
+        self, now: float | None = None, ts_base: int = 0
+    ) -> float | None:
+        """The reference's delay gauge (common_syncer.py:246-260: wall
+        clock minus the last APPLIED optime), derived from the committed
+        high watermark — None until a first batch commits. ``ts_base``
+        shifts relative optimes onto the epoch clock (the synthetic
+        fixture stamps envelope ts relative to FIXTURE_EPOCH); a source
+        stamping absolute epoch seconds passes 0. Clamped at 0: a
+        watermark "ahead of" the clock only happens with synthetic
+        future-dated fixtures."""
+        wm = self.high_watermark()
+        if wm is None:
+            return None
+        import time as _time
+
+        return max(0.0, (now if now is not None else _time.time()) - (ts_base + wm))
+
     def assert_not_stale(self, first_event_ts: int) -> None:
         """Abort if the stream's history no longer covers the resume point —
         port of the first-event staleness check

@@ -94,6 +94,9 @@ class CdcPipeline:
         self.stage = "STOPPED"
         self._resume_checked = not self.cplog.exists()
         self.last_stats: list[dict] = []
+        #: optional per-batch stats hook (the CLI's --follow mode wires a
+        #: JSON logger here); called with the apply_batch result dict
+        self.on_batch_stats = None
 
     # ------------------------------------------------------------ snapshot
 
@@ -346,9 +349,10 @@ class CdcPipeline:
 
         Scope: single-table pipelines retarget fully (same-batch events
         under the new ns are accepted via _batch_accept_ns). Under
-        MultiCdcPipeline the owning table moves, but the fan-out routing
-        key keeps the old namespace until the pipeline is reconstructed —
-        rename under multi-table sync needs a restart to re-route."""
+        MultiCdcPipeline the fan-out routing map is re-keyed from dst_ns at
+        the start of every batch (``_resync_routing``), so post-rename
+        events in subsequent batches land in the renamed table without a
+        restart."""
         import os
 
         to_ns = cmd["to"]
@@ -602,9 +606,22 @@ class CdcPipeline:
             wall_ms=wall_ms, t_pstats=round(t_pstats, 2),
             n_unsupported_ops=probe.get("n_unsupported_ops"),
         )
+        # replication lag — the reference's delay gauge (now - last applied
+        # optime, common_syncer.py:246-260); envelope ts is relative to
+        # FIXTURE_EPOCH, the same base the table's row ts uses
+        applied_max = max(
+            (r["max_ts"] for r in probe["bucket_stats"] if r["max_ts"] is not None),
+            default=None,
+        )
+        if not res.get("skipped") and applied_max is not None:
+            res["replication_lag_sec"] = round(
+                max(0.0, time.time() - (FIXTURE_EPOCH + applied_max)), 1
+            )
         if ddl_stats is not None:
             res["ddl"] = ddl_stats
         self.last_stats.append(res)
+        if self.on_batch_stats is not None:
+            self.on_batch_stats(res)
         return res
 
     # -------------------------------------------------------------- stream
@@ -678,6 +695,23 @@ class MultiCdcPipeline:
         for ns, df in snapshots.items():
             self.pipes[ns].initial_sync(df)
 
+    def _resync_routing(self) -> None:
+        """Re-key the ns→pipe fan-out map from each pipe's CURRENT dst_ns.
+        A pipe that replayed a ``rename_table`` command retargeted itself
+        (table moved, ``dst_ns`` updated), but this map's key — the routing
+        for slicing the shared fold — kept the old namespace, so
+        post-rename events were silently dropped until a restart (r3
+        VERDICT #8). Runs at every batch start; a no-op when nothing was
+        renamed. Same-batch semantics: events arriving under the NEW ns in
+        the very batch that carries the rename command are handled by the
+        single-pipeline both-ns acceptance (``_batch_accept_ns``) once the
+        routing has flipped — i.e. from the batch AFTER the command, which
+        matches the reference's sequential replay (the command precedes the
+        events in oplog order, mongo/handler.py:156-163)."""
+        remap = {p.dst_ns: p for p in self.pipes.values()}
+        if set(remap) != set(self.pipes):
+            self.pipes = dict(sorted(remap.items()))
+
     def apply_batch(self, events: DataFrame, batch_id: int) -> dict[str, dict]:
         """Single-scan fan-out: ONE shared probe grouped by (ns, bucket) and
         ONE parse+fold over the whole microbatch (persisted), then a
@@ -692,6 +726,7 @@ class MultiCdcPipeline:
         from pyspark.sql import types as T
 
         t0 = _time.monotonic()
+        self._resync_routing()
         results: dict[str, dict] = {}
         pending = {
             ns: p for ns, p in self.pipes.items()

@@ -149,3 +149,44 @@ def test_lineage_records_table_version_for_changelog_consumers(spark, tmp_path):
     assert ch.count() > 0
     assert set(ch.select("_change_type").distinct().toPandas()["_change_type"]) \
         <= {"insert", "update", "delete"}
+
+
+def test_replication_lag_metric(spark, tmp_path):
+    """SURVEY §2.9 delay gauge (reference common_syncer.py:246-260):
+    wall clock minus last applied optime, from the committed watermark;
+    None before any commit; ts_base shifts fixture-relative optimes."""
+    from py_mongo_sync_spark.plans.checkpoints import CheckpointLog
+
+    log = CheckpointLog(spark, str(tmp_path / "cp"))
+    assert log.replication_lag_seconds() is None
+    log.append([
+        {"batch_id": 0, "partition_id": 0, "max_ts": 1000,
+         "n_events": 5, "wall_ms": 10, "committed_at_seq": 0},
+        {"batch_id": 0, "partition_id": 1, "max_ts": 1200,
+         "n_events": 5, "wall_ms": 10, "committed_at_seq": 0},
+    ])
+    # fixture optimes are relative: base 1_700_000_000, watermark 1200
+    got = log.replication_lag_seconds(now=1_700_000_000 + 1260,
+                                      ts_base=1_700_000_000)
+    assert got == 60.0
+    assert log.replication_lag_seconds(now=1_700_000_000, ts_base=1_700_000_000) == 0.0
+
+
+def test_pipeline_emits_replication_lag_and_batch_hook(spark, tmp_path):
+    """apply_batch stamps replication_lag_sec on its stats and invokes the
+    per-batch hook the CLI --follow mode uses."""
+    from py_mongo_sync_spark.config import SyncConfig
+    from py_mongo_sync_spark.sources.generate import (
+        gen_oplog_events, gen_transcripts_snapshot,
+    )
+    from py_mongo_sync_spark.streaming.pipeline import CdcPipeline
+
+    cfg = SyncConfig(dst_path=str(tmp_path / "l"),
+                     checkpoint_path=str(tmp_path / "c"), n_buckets=2)
+    pipe = CdcPipeline(spark, cfg)
+    pipe.initial_sync(gen_transcripts_snapshot(spark, 5, 2))
+    seen = []
+    pipe.on_batch_stats = seen.append
+    res = pipe.apply_batch(gen_oplog_events(spark, 5, 2, 30), 0)
+    assert res["replication_lag_sec"] > 0          # replaying past optimes
+    assert seen and seen[0] is res                 # hook fired with the stats

@@ -163,3 +163,57 @@ def test_multi_ns_parallel_merges_overlap_and_are_exact(spark, tmp_path):
             KEY_COLS, ["role", "text", "ts"],
         )
         assert rep["ok"], (ns, rep)
+
+
+def test_multi_ns_rename_reroutes_without_restart(spark, tmp_path):
+    """r3 VERDICT #8: under MultiCdcPipeline a replayed rename_table used
+    to move the owning table while the fan-out routing map kept the old
+    namespace until restart — post-rename events were silently dropped.
+    The routing is now re-keyed from each pipe's dst_ns at batch start, so
+    events under the NEW ns in later batches land in the renamed table,
+    and the untouched sibling keeps syncing."""
+    import json as _json
+    import os
+
+    cfg = SyncConfig(
+        dst_path=str(tmp_path / "lakes"),
+        checkpoint_path=str(tmp_path / "cps"),
+        n_buckets=4,
+    )
+    snap = gen_transcripts_snapshot(spark, 8, 3)
+    multi = MultiCdcPipeline(spark, cfg, ["chat.transcripts", "notes.transcripts"])
+    multi.initial_sync({"chat.transcripts": snap, "notes.transcripts": snap})
+
+    def ev(rows):
+        return spark.createDataFrame(rows, "ts long, op string, ns string, doc string")
+
+    def ins(ts, ns, conv):
+        return (ts, "i", ns,
+                _json.dumps({"conv_id": conv, "turn_idx": 0,
+                             "role": "user", "text": conv}))
+
+    # batch 0: normal traffic + the rename command for chat.transcripts
+    multi.apply_batch(ev([
+        ins(2000, "chat.transcripts", "pre-rename"),
+        ins(2001, "notes.transcripts", "notes-0"),
+        (2002, "c", "chat.transcripts",
+         _json.dumps({"cmd": "rename_table", "to": "archive.transcripts"})),
+    ]), 0)
+    assert os.path.isdir(str(tmp_path / "lakes" / "archive__transcripts"))
+
+    # batch 1: events arrive under the NEW ns (and the sibling continues)
+    res = multi.apply_batch(ev([
+        ins(3000, "archive.transcripts", "post-rename"),
+        ins(3001, "notes.transcripts", "notes-1"),
+        ins(3002, "chat.transcripts", "stale-ns"),  # old ns: no destination
+    ]), 1)
+    assert set(res) == {"archive.transcripts", "notes.transcripts"}
+    assert set(multi.pipes) == {"archive.transcripts", "notes.transcripts"}
+
+    renamed = {r["conv_id"] for r in
+               multi.pipes["archive.transcripts"].table.read().collect()}
+    assert "pre-rename" in renamed and "post-rename" in renamed
+    assert "stale-ns" not in renamed
+    notes = {r["conv_id"] for r in
+             multi.pipes["notes.transcripts"].table.read().collect()}
+    assert {"notes-0", "notes-1"} <= notes and "post-rename" not in notes

@@ -291,8 +291,18 @@ class LakeTable:
         (e.g. straight out of the MERGE join), so each task holds disjoint
         buckets and no repartition is needed — ``partitionBy`` splits the
         few buckets per task into their own files. Otherwise repartition on
-        the bucket (+ an intra-bucket salt when files_per_bucket > 1)."""
-        out = os.path.join(self.path, root, f"v{version:08d}")
+        the bucket (+ an intra-bucket salt when files_per_bucket > 1).
+
+        The directory carries a per-ATTEMPT unique suffix: two concurrent
+        writers racing for the same version number would otherwise stage
+        into the SAME ``v{N}`` dir with mode=overwrite — the loser's write
+        deletes the winner's files BEFORE the manifest claim decides the
+        race, so the winner's committed manifest points at vanished data
+        (observed in the dual-writer retry test). Readers only ever follow
+        manifest paths, never the dir layout; a conflict loser's staged
+        files are unreferenced and reaped by ``expire_versions``."""
+        out = os.path.join(self.path, root,
+                           f"v{version:08d}-{uuid.uuid4().hex[:8]}")
         if not aligned:
             if files_per_bucket > 1:
                 part_cols = [F.col(BUCKET_COL), F.pmod(F.xxhash64(F.rand(seed=0)), F.lit(files_per_bucket))]
@@ -456,6 +466,7 @@ class LakeTable:
         changed_buckets: list[int] | None = None,
         nonnull_new_cols: list[str] | None = None,
         compact_threshold: int | None = None,
+        retries: int = 2,
     ) -> dict:
         """MERGE INTO this table. ``source`` must have exactly one row per
         key (LWW-deduped, see operators/dedup.py) with table columns plus
@@ -470,12 +481,46 @@ class LakeTable:
         Without hints the merge probes the source itself (persisting it so
         the lineage still runs once).
 
+        Optimistic-concurrency retry (the Iceberg commit loop): a
+        ``CommitConflict`` — a concurrent writer won the version claim, or
+        holds a young in-flight claim — re-reads the manifest and re-runs
+        the whole MERGE against the new table state, up to ``retries``
+        times with a short backoff. The batch-id guard re-checks first, so
+        a conflicting commit of the SAME batch resolves to a skip, never a
+        double-apply. Conflicts that outlive the retries (e.g. a writer
+        that died inside its claim window — resolved only after
+        ``ORPHAN_GRACE_SECONDS``) still raise: failing loudly beats
+        building on a state another writer may be mid-swap on.
+
         Returns commit stats. Idempotent on ``batch_id``.
         """
-        m = self.manifest()
-        if self.is_committed(batch_id, m):
-            return {"skipped": True, "batch_id": batch_id, "version": m["version"]}
+        last_conflict: CommitConflict | None = None
+        for attempt in range(retries + 1):
+            m = self.manifest()
+            if self.is_committed(batch_id, m):
+                return {"skipped": True, "batch_id": batch_id,
+                        "version": m["version"]}
+            try:
+                return self._merge_attempt(
+                    source, batch_id, m, changed_buckets, nonnull_new_cols,
+                    compact_threshold,
+                )
+            except CommitConflict as e:
+                last_conflict = e
+                if attempt < retries:
+                    time.sleep(min(2.0, 0.2 * (2 ** attempt)))
+        raise last_conflict
 
+    def _merge_attempt(
+        self,
+        source: DataFrame,
+        batch_id: int,
+        m: dict,
+        changed_buckets: list[int] | None,
+        nonnull_new_cols: list[str] | None,
+        compact_threshold: int | None,
+    ) -> dict:
+        """One optimistic MERGE attempt against manifest snapshot ``m``."""
         if m.get("write_mode", "cow") == "mor":
             def inner(src, bid, mf, hb, hn):
                 return self._merge_mor(src, bid, mf, hb, hn, compact_threshold)

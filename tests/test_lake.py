@@ -436,3 +436,42 @@ def test_crashed_rename_repaired_on_next_open(spark, tmp_path):
     for fs in m["buckets"].values():
         for p in fs:
             assert p.startswith(new_path + os.sep)
+
+
+def test_merge_retries_after_losing_commit_race(spark, tmp_path):
+    """Optimistic-concurrency retry (the Iceberg commit loop): a writer
+    whose claim loses to a concurrent commit must re-read the manifest and
+    re-run its MERGE on the new state — both writers' changes land, none
+    lost. If the concurrent winner committed the SAME batch id, the retry
+    resolves to an idempotent skip instead."""
+    t = _mk(spark, tmp_path, [("a", 0, "x", TS[0])])
+    t2 = LakeTable(spark, t.path)
+    orig = t2._merge_attempt
+    calls = {"n": 0}
+
+    def hooked(source, bid, m, *a):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # a concurrent writer wins the race in t2's read-to-claim window
+            t.merge(_src(spark, [("z", 9, "w", TS[2], "u", False)]), batch_id=50)
+        return orig(source, bid, m, *a)
+
+    t2._merge_attempt = hooked
+    res = t2.merge(_src(spark, [("a", 0, "x2", TS[3], "u", False)]), batch_id=51)
+    assert not res["skipped"] and calls["n"] == 2  # one conflict, one success
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t2.read().collect()}
+    assert got == {("a", 0): "x2", ("z", 9): "w"}  # both commits present
+
+    # same-batch race: winner already committed batch 60 → retry skips
+    calls["n"] = 0
+
+    def hooked_same(source, bid, m, *a):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            t.merge(_src(spark, [("q", 5, "v", TS[4], "u", False)]), batch_id=60)
+        return orig(source, bid, m, *a)
+
+    t2._merge_attempt = hooked_same
+    res2 = t2.merge(_src(spark, [("q", 5, "OTHER", TS[5], "u", False)]), batch_id=60)
+    assert res2["skipped"]                          # no double-apply
+    assert t2.read().where("conv_id = 'q'").first()["text"] == "v"

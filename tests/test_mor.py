@@ -111,10 +111,12 @@ def test_mor_write_amplification_is_batch_sized(spark, tmp_path):
         p.initial_sync(snapshot)
         res = p.apply_batch(batch, 0)
         m = p.table.manifest()
+        # staging dirs carry a per-attempt unique suffix (v{N}-{uuid8}/ —
+        # dual-writer isolation), so match on the version prefix
         return sum(
             os.path.getsize(f)
             for files in m["buckets"].values() for f in files
-            if f"/v{res['version']:08d}/" in f
+            if f"/v{res['version']:08d}-" in f
         )
 
     d_small = mor_bytes(small, "mor_small")

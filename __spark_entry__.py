@@ -529,6 +529,21 @@ def q_neardup_clusters(spark, sf):
                             warn_oversized=False)
 
 
+def q_decontamination(spark, sf):
+    """Benchmark decontamination (operators/decontaminate.py): every 20th
+    document plays the benchmark/eval set, the rest the training corpus;
+    corpus docs near-matching any benchmark doc (banded MinHash candidates
+    → exact shingle-Jaccard ≥ 80%) are flagged contaminated with the
+    minimum matching bench id as evidence. The standard pre-training
+    hygiene step — a model must not train on its own test set."""
+    from py_mongo_sync_spark.operators.decontaminate import contamination_decision
+
+    d = _t(spark, sf, "documents")
+    corpus = d.where("doc_id % 20 <> 0")
+    bench = d.where("doc_id % 20 = 0")
+    return contamination_decision(corpus, bench)
+
+
 def q_simhash_fingerprint(spark, sf):
     from py_mongo_sync_spark.functions.similarity import simhash_fingerprints_md5
 
@@ -703,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changelog": q_cdc_changelog,
         "minhash_neardup": q_minhash_neardup,
         "neardup_clusters": q_neardup_clusters,
+        "decontamination": q_decontamination,
         "curated_corpus": q_curated_corpus,
         "simhash_fingerprint": q_simhash_fingerprint,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
@@ -1219,6 +1235,65 @@ def _hash_parity_oracles() -> dict[str, str]:
         FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
     """
 
+    # --- decontamination: corpus (doc_id % 20 <> 0) vs benchmark
+    # (doc_id % 20 = 0); banded candidates corpus x bench, exact-Jaccard
+    # verify, one decision row per corpus doc
+    def _banded_cte(src: str, sfx: str) -> str:
+        rows = "\n            UNION ALL ".join(
+            f"SELECT doc_id, {bnd} AS band, "
+            f"CAST(m{2 * bnd} AS VARCHAR) || ',' || CAST(m{2 * bnd + 1} AS VARCHAR)"
+            f" AS bkey FROM mins{sfx}"
+            for bnd in range(bands)
+        )
+        return f"""
+        sh{sfx} AS (
+            SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, greatest(len(text) - 4, 1) + 1),
+                                i -> substr(text, i::INT, 5))) AS s
+                  FROM {src})
+        ), mins{sfx} AS (SELECT doc_id, {mins}
+                    FROM sh{sfx} GROUP BY doc_id),
+        bands{sfx} AS ({rows})"""
+
+    decon = f"""
+        WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+        bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        {_banded_cte('corpus', 'c')},
+        {_banded_cte('bench', 'bn')},
+        cand AS (
+            SELECT DISTINCT c.doc_id AS cid, b.doc_id AS bid
+            FROM bandsc c JOIN bandsbn b
+              ON c.band = b.band AND c.bkey = b.bkey
+        ),
+        setsc AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, greatest(len(text) - 4, 1) + 1),
+                                 i -> substr(text, i::INT, 5))) AS s
+            FROM corpus
+        ),
+        setsb AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, greatest(len(text) - 4, 1) + 1),
+                                 i -> substr(text, i::INT, 5))) AS s
+            FROM bench
+        ),
+        hits AS (
+            SELECT cid, min(bid) AS bench_id, count(*) AS n
+            FROM cand
+            JOIN setsc sa ON sa.doc_id = cand.cid
+            JOIN setsb sb ON sb.doc_id = cand.bid
+            WHERE len(list_intersect(sa.s, sb.s)) * 100
+                  >= 80 * (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+            GROUP BY cid
+        )
+        SELECT c.doc_id,
+               (h.bench_id IS NOT NULL) AS contaminated,
+               h.bench_id,
+               coalesce(h.n, 0) AS n_bench_matches
+        FROM corpus c LEFT JOIN hits h ON h.cid = c.doc_id
+    """
+
     # --- LSH-bucketed ANN (6 md5-weight hyperplanes over 64 dims)
     def wlist(p: int) -> str:
         return (
@@ -1302,6 +1377,7 @@ def _hash_parity_oracles() -> dict[str, str]:
         "simhash_neardup_pairs": simhash_pairs,
         "minhash_neardup": minhash,
         "neardup_clusters": neardup_clusters_sql,
+        "decontamination": decon,
         "curated_corpus": curated_sql,
         "ann_lsh_bucketed": ann,
         "ann_ivf_topk": """

@@ -1,0 +1,114 @@
+"""Benchmark decontamination — remove test-set overlap from a training
+corpus.
+
+The dedup family's cross-corpus member: where ``neardup_clusters`` finds
+near-duplicates WITHIN one corpus, decontamination finds corpus documents
+that near-match any document of a (much smaller) benchmark/eval set and
+flags them for removal — the standard hygiene step before training on
+web-scale data (a model must not train on its own test set).
+
+Reference analogue: none (the reference has no analytics operators); the
+shape mirrors its "destination equals source" contract
+(/root/reference/mongosync/mongo/syncer.py:104-123) as "corpus equals
+corpus minus contaminated".
+
+Spark-first cost profile, built from the same oracle-parity MinHash
+machinery as the within-corpus path (functions/similarity.py):
+
+- each side is shingled + signed ONCE (one md5 per shingle row, affine
+  min-aggregates in one groupBy);
+- candidates come from an EQUI-join of band buckets corpus×benchmark —
+  never corpus×corpus, never all-pairs: cost is linear in corpus size
+  plus (per band bucket) corpus-members × benchmark-members, and the
+  benchmark side is small by definition (thousands of eval docs vs 10⁹
+  training docs) so Spark broadcasts it;
+- candidates are verified with EXACT shingle-set Jaccard
+  (integer cross-multiplied threshold — bit-identical to the SQL oracle);
+- the decision is one row per corpus doc: keep iff not contaminated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from py_mongo_sync_spark.functions.similarity import char_shingles
+from py_mongo_sync_spark.operators.neardup import banded_signature_rows
+
+
+def contamination_decision(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 8,
+    k: int = 5,
+    threshold_pct: int = 80,
+) -> DataFrame:
+    """One row per corpus doc: (doc_id, contaminated, bench_id,
+    n_bench_matches). ``bench_id`` is the minimum matching benchmark id
+    (deterministic evidence pointer, NULL when clean); ``corpus minus
+    contaminated`` = ``where not contaminated``."""
+    cb = banded_signature_rows(corpus, id_col, text_col, n_hashes, bands, k)
+    bb = banded_signature_rows(
+        benchmark, bench_id_col, bench_text_col, n_hashes, bands, k
+    ).select(
+        F.col("_id").alias("_bid"), "band", "bkey"
+    )
+    cand = (
+        cb.join(bb, ["band", "bkey"])
+        .select(F.col("_id").alias("_cid"), "_bid")
+        .distinct()
+    )
+
+    def _sets(df: DataFrame, idc: str, txt: str, ida: str, seta: str) -> DataFrame:
+        return df.select(
+            F.col(idc).alias(ida),
+            F.array_distinct(char_shingles(txt, k)).alias(seta),
+        )
+
+    j = (
+        cand.join(_sets(corpus, id_col, text_col, "_cid", "_cs"), "_cid")
+        .join(_sets(benchmark, bench_id_col, bench_text_col, "_bid", "_bs"),
+              "_bid")
+    )
+    inter = F.size(F.array_intersect("_cs", "_bs"))
+    union = F.size("_cs") + F.size("_bs") - inter
+    hits = (
+        j.where(inter * 100 >= F.lit(threshold_pct) * union)
+        .groupBy("_cid")
+        .agg(
+            F.min("_bid").alias("bench_id"),
+            F.count(F.lit(1)).alias("n_bench_matches"),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(hits, F.col("doc_id") == hits["_cid"], "left")
+        .select(
+            "doc_id",
+            F.col("bench_id").isNotNull().alias("contaminated"),
+            "bench_id",
+            F.coalesce("n_bench_matches", F.lit(0)).alias("n_bench_matches"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """The applied decision: corpus rows whose text does NOT near-match any
+    benchmark document (all columns preserved)."""
+    decision = contamination_decision(
+        corpus, benchmark, id_col=id_col, text_col=text_col, **kwargs
+    )
+    clean = decision.where(~F.col("contaminated")).select("doc_id")
+    return corpus.join(
+        clean, corpus[id_col] == clean["doc_id"], "left_semi"
+    )

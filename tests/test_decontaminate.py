@@ -1,0 +1,46 @@
+"""Benchmark decontamination: corpus docs near-matching any benchmark doc
+are flagged (with evidence) and removable; clean docs pass through."""
+
+from __future__ import annotations
+
+from py_mongo_sync_spark.operators.decontaminate import (
+    contamination_decision,
+    decontaminate,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_contamination_decision_flags_near_matches(spark):
+    bench = _docs(spark, [
+        (1000, "the quick brown fox jumps over the lazy dog" * 3),
+        (1001, "completely different benchmark prompt about chemistry" * 3),
+    ])
+    corpus = _docs(spark, [
+        # verbatim copy of bench 1000 → contaminated
+        (1, "the quick brown fox jumps over the lazy dog" * 3),
+        # near-copy (one word changed) → still contaminated at 80% Jaccard
+        (2, "the quick brown fox jumps over the lazy cat"
+            + "the quick brown fox jumps over the lazy dog" * 2),
+        # unrelated → clean
+        (3, "unrelated training document with its own content entirely" * 3),
+    ])
+    got = {r["doc_id"]: r for r in contamination_decision(corpus, bench).collect()}
+    assert got[1]["contaminated"] and got[1]["bench_id"] == 1000
+    assert got[1]["n_bench_matches"] == 1
+    assert got[2]["contaminated"] and got[2]["bench_id"] == 1000
+    assert not got[3]["contaminated"] and got[3]["bench_id"] is None
+    assert got[3]["n_bench_matches"] == 0
+
+
+def test_decontaminate_removes_only_contaminated(spark):
+    bench = _docs(spark, [(1000, "held out evaluation question text here" * 4)])
+    corpus = _docs(spark, [
+        (1, "held out evaluation question text here" * 4),   # leak
+        (2, "normal web document about gardening and soil" * 4),
+        (3, "another clean document on a different topic" * 4),
+    ])
+    kept = {r["doc_id"] for r in decontaminate(corpus, bench).collect()}
+    assert kept == {2, 3}

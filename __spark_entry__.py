@@ -529,6 +529,20 @@ def q_neardup_clusters(spark, sf):
                             warn_oversized=False)
 
 
+def q_sequence_packing(spark, sf):
+    """Greedy sequence packing (operators/packing.py): documents packed
+    into 512-token training windows per language, deterministic
+    greedy-by-doc-id — the post-curation step that fills fixed context
+    windows without padding waste. The DuckDB oracle replays the exact
+    greedy walk with a recursive CTE (one step per doc per language)."""
+    from py_mongo_sync_spark.operators.packing import pack_greedy
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    return pack_greedy(d, budget=512, group_cols=["lang"])
+
+
 def q_decontamination(spark, sf):
     """Benchmark decontamination (operators/decontaminate.py): every 20th
     document plays the benchmark/eval set, the rest the training corpus;
@@ -719,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "neardup_clusters": q_neardup_clusters,
         "decontamination": q_decontamination,
+        "sequence_packing": q_sequence_packing,
         "curated_corpus": q_curated_corpus,
         "simhash_fingerprint": q_simhash_fingerprint,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
@@ -1235,6 +1250,31 @@ def _hash_parity_oracles() -> dict[str, str]:
         FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
     """
 
+    # --- sequence packing: replay the greedy walk exactly — one recursive
+    # step per doc per language; same-pack iff running sum stays <= budget,
+    # oversized docs get singleton packs (acc > budget forces the NEXT doc
+    # into a new pack, exactly like the kernel's searchsorted bound)
+    packing = """
+        WITH RECURSIVE d AS (
+            SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+                   row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        walk AS (
+            SELECT lang, rn, doc_id, n_tokens,
+                   n_tokens AS acc, CAST(0 AS BIGINT) AS pack_id
+            FROM d WHERE rn = 1
+            UNION ALL
+            SELECT d.lang, d.rn, d.doc_id, d.n_tokens,
+                   CASE WHEN w.acc + d.n_tokens <= 512
+                        THEN w.acc + d.n_tokens ELSE d.n_tokens END,
+                   CASE WHEN w.acc + d.n_tokens <= 512
+                        THEN w.pack_id ELSE w.pack_id + 1 END
+            FROM walk w JOIN d ON d.lang = w.lang AND d.rn = w.rn + 1
+        )
+        SELECT doc_id, lang, n_tokens, pack_id FROM walk
+    """
+
     # --- decontamination: corpus (doc_id % 20 <> 0) vs benchmark
     # (doc_id % 20 = 0); banded candidates corpus x bench, exact-Jaccard
     # verify, one decision row per corpus doc
@@ -1378,6 +1418,7 @@ def _hash_parity_oracles() -> dict[str, str]:
         "minhash_neardup": minhash,
         "neardup_clusters": neardup_clusters_sql,
         "decontamination": decon,
+        "sequence_packing": packing,
         "curated_corpus": curated_sql,
         "ann_lsh_bucketed": ann,
         "ann_ivf_topk": """

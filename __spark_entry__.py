@@ -308,6 +308,40 @@ def q_sessionize_events(spark, sf):
     )
 
 
+def q_dedup_exact_stream(spark, sf):
+    """STREAMING exact dedup with bounded state
+    (py_mongo_sync_spark/streaming/dedup.py): the events table is streamed
+    TWICE (two file sources unioned — a synthetic at-least-once upstream
+    where every event is redelivered) through
+    dropDuplicatesWithinWatermark; the surviving rows are exactly the
+    unique events, so the batch oracle is the events table itself."""
+    import tempfile
+    import uuid
+
+    from py_mongo_sync_spark.streaming.dedup import dedup_stream
+
+    sch = ("event_id long, ts timestamp, user_id long, "
+           "event_type string, value double, props string")
+
+    def src():
+        return (
+            spark.readStream.schema(sch)
+            .option("pathGlobFilter", "events.parquet").parquet(sf)
+            .select("event_id", "user_id", "event_type", "ts")
+        )
+
+    stream = src().unionByName(src())
+    name = f"dedup_{uuid.uuid4().hex[:12]}"
+    q = (
+        dedup_stream(stream, ["event_id"], watermark_col="ts", delay="1 hour")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dedup_cp_"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("event_id", "user_id", "event_type")
+
+
 def q_sessionize_stream_stateful(spark, sf):
     """The STATEFUL-STREAMING sessionization (applyInPandasWithState,
     py_mongo_sync_spark/streaming/sessionize.py) run availableNow over the
@@ -529,6 +563,19 @@ def q_neardup_clusters(spark, sf):
                             warn_oversized=False)
 
 
+def q_stratified_sample(spark, sf):
+    """Deterministic stratified cap (operators/sampling.py): at most 40
+    docs per language chosen by md5(doc_id) rank, composed with a 50%
+    hash-rate pre-sample — the auditable training-mix builder (same rows
+    on every engine and every re-run)."""
+    from py_mongo_sync_spark.operators.sampling import (
+        hash_rate_sample, stratified_cap,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return stratified_cap(hash_rate_sample(d, 50), ["lang"], 40)
+
+
 def q_sequence_packing(spark, sf):
     """Greedy sequence packing (operators/packing.py): documents packed
     into 512-token training windows per language, deterministic
@@ -723,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_norms": q_embedding_label_norms,
         "sessionize_events": q_sessionize_events,
         "sessionize_stream_stateful": q_sessionize_stream_stateful,
+        "dedup_exact_stream": q_dedup_exact_stream,
         "windowed_counts_stream": q_windowed_counts_stream,
         "value_percentiles": q_value_percentiles,
         "rollup_lineitem": q_rollup_lineitem,
@@ -734,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "decontamination": q_decontamination,
         "sequence_packing": q_sequence_packing,
+        "stratified_sample": q_stratified_sample,
         "curated_corpus": q_curated_corpus,
         "simhash_fingerprint": q_simhash_fingerprint,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
@@ -901,6 +950,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM sess GROUP BY user_id
+        """,
+        "dedup_exact_stream": """
+            SELECT event_id, user_id, event_type FROM events
         """,
         "sessionize_stream_stateful": """
             WITH marked AS (
@@ -1419,6 +1471,18 @@ def _hash_parity_oracles() -> dict[str, str]:
         "neardup_clusters": neardup_clusters_sql,
         "decontamination": decon,
         "sequence_packing": packing,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                                    doc_id
+                       ) AS rk
+                FROM documents
+                WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 50
+            ) WHERE rk <= 40
+        """,
         "curated_corpus": curated_sql,
         "ann_lsh_bucketed": ann,
         "ann_ivf_topk": """

@@ -1,0 +1,38 @@
+"""Deterministic sampling: exact per-group caps, reproducible draws,
+composability of rate sampling with caps."""
+
+from __future__ import annotations
+
+from py_mongo_sync_spark.operators.sampling import hash_rate_sample, stratified_cap
+
+
+def _docs(spark, n=200):
+    rows = [(i, "en" if i % 3 else "de") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_stratified_cap_exact_k_and_deterministic(spark):
+    d = _docs(spark)
+    got = stratified_cap(d, ["lang"], 10).toPandas()
+    assert (got.groupby("lang").size() == 10).all()
+    again = stratified_cap(d, ["lang"], 10).toPandas()
+    assert sorted(got["doc_id"]) == sorted(again["doc_id"])
+    # small strata come back whole (cap, not forced size)
+    tiny = stratified_cap(_docs(spark, 6), ["lang"], 10).count()
+    assert tiny == 6
+
+
+def test_hash_rate_sample_stable_and_composable(spark):
+    d = _docs(spark, 400)
+    s50 = hash_rate_sample(d, 50)
+    n = s50.count()
+    assert 120 <= n <= 280               # ~50% of 400, md5-spread
+    # per-row fate is independent of the rest of the corpus: the sample of
+    # a subset equals the subset of the sample
+    half = d.where("doc_id < 200")
+    a = {r["doc_id"] for r in hash_rate_sample(half, 50).collect()}
+    b = {r["doc_id"] for r in s50.where("doc_id < 200").collect()}
+    assert a == b
+    # rate 100 keeps everything, 0 keeps nothing
+    assert hash_rate_sample(d, 100).count() == 400
+    assert hash_rate_sample(d, 0).count() == 0

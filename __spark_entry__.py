@@ -563,6 +563,33 @@ def q_neardup_clusters(spark, sf):
                             warn_oversized=False)
 
 
+def q_pii_redaction(spark, sf):
+    """PII scrub (functions/text.py::redact_pii): deterministic synthetic
+    email+IP markers are appended to each doc (the fixture corpus carries
+    no real PII), then the chained regexp_replace pass must redact them to
+    typed placeholders, with pre-redaction hit counts as telemetry. Pure
+    JVM regex — the DuckDB oracle applies the identical patterns."""
+    from py_mongo_sync_spark.functions.text import redact_pii
+
+    d = _t(spark, sf, "documents")
+    injected = F.concat(
+        F.col("text"), F.lit(" contact doc"),
+        F.col("doc_id").cast("string"), F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit("."),
+        (F.col("doc_id") % 100).cast("string"), F.lit(" end"),
+    )
+    email_pat = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ip_pat = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    return d.select(
+        "doc_id",
+        redact_pii(injected).alias("redacted"),
+        F.size(F.regexp_extract_all(injected, F.lit(email_pat), F.lit(0)))
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(injected, F.lit(ip_pat), F.lit(0)))
+        .alias("n_ips"),
+    )
+
+
 def q_stratified_sample(spark, sf):
     """Deterministic stratified cap (operators/sampling.py): at most 40
     docs per language chosen by md5(doc_id) rank, composed with a 50%
@@ -783,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "sequence_packing": q_sequence_packing,
         "stratified_sample": q_stratified_sample,
+        "pii_redaction": q_pii_redaction,
         "curated_corpus": q_curated_corpus,
         "simhash_fingerprint": q_simhash_fingerprint,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
@@ -1471,6 +1499,28 @@ def _hash_parity_oracles() -> dict[str, str]:
         "neardup_clusters": neardup_clusters_sql,
         "decontamination": decon,
         "sequence_packing": packing,
+        "pii_redaction": """
+            WITH inj AS (
+                SELECT doc_id,
+                       text || ' contact doc' || CAST(doc_id AS VARCHAR)
+                            || '@example.com from 10.0.'
+                            || CAST(doc_id % 256 AS VARCHAR) || '.'
+                            || CAST(doc_id % 100 AS VARCHAR) || ' end' AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'),
+                       '\\+?\\d{1,3}[-. ]\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}', '[PHONE]', 'g'),
+                     '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g') AS redacted,
+                   len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+                   len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ips
+            FROM inj
+        """,
         "stratified_sample": """
             SELECT doc_id, lang FROM (
                 SELECT doc_id, lang,

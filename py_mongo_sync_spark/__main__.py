@@ -214,6 +214,18 @@ def _run_multi(spark, cfg, extras, args) -> int:
         fmt=extras["events_format"],
     )
     spark_cp = args.spark_checkpoint or (cfg.checkpoint_path + "/_spark")
+    if args.follow:
+        def _mk_logger(pipe):
+            # read dst_ns at call time: a replayed rename_table retargets
+            # the pipe and the log line must follow it
+            return lambda s: print(json.dumps({
+                "stage": "BATCH", "ns": pipe.dst_ns,
+                "batch_id": s.get("batch_id"),
+                "n_events": s.get("n_events"),
+                "replication_lag_sec": s.get("replication_lag_sec"),
+            }), flush=True)
+        for p in multi.pipes.values():
+            p.on_batch_stats = _mk_logger(p)
     q = multi.run_stream(stream, spark_cp, available_now=not args.follow)
     if args.follow:
         q.awaitTermination()

@@ -81,3 +81,39 @@ def rolling_fingerprint(text: Column, window: int = 16) -> Column:
     return F.array_min(
         F.transform(F.sequence(F.lit(1), n), lambda i: F.xxhash64(c.substr(i, F.lit(window))))
     )
+
+
+#: PII patterns kept to regex constructs shared by Java and RE2-style
+#: engines (character classes, bounded repetition — no lookaround), so a
+#: SQL oracle applies the IDENTICAL patterns. Order matters: emails are
+#: redacted before phone numbers so a phone-looking local-part can't be
+#: half-eaten first.
+PII_PATTERNS = [
+    ("[EMAIL]", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("[IP]", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("[PHONE]", r"\+?\d{1,3}[-. ]\d{3}[-. ]\d{3,4}[-. ]\d{4}"),
+    ("[SSN]", r"\b\d{3}-\d{2}-\d{4}\b"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails / IPv4s / phone numbers / SSN-shaped ids to typed
+    placeholder tokens — the standard pre-training hygiene pass. Pure
+    chained ``regexp_replace`` (JVM-side, whole-stage codegen, no UDF);
+    deterministic, so redaction is reproducible and oracle-checkable."""
+    out = text
+    for token, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_hit_counts(text: Column) -> Column:
+    """Map of pattern-name → occurrences (redaction telemetry: how much
+    PII a corpus slice carried, without storing any of it)."""
+    return F.map_from_arrays(
+        F.array(*[F.lit(t) for t, _ in PII_PATTERNS]),
+        F.array(*[
+            F.size(F.regexp_extract_all(text, F.lit(p), F.lit(0)))
+            for _, p in PII_PATTERNS
+        ]),
+    )

@@ -563,6 +563,29 @@ def q_neardup_clusters(spark, sf):
                             warn_oversized=False)
 
 
+def q_training_mix(spark, sf):
+    """The shipped pipeline end-to-end, ONE composed plan: benchmark
+    decontamination (remove eval-set leaks) ∘ deterministic stratified cap
+    (≤30 docs per language) ∘ greedy sequence packing (512-token windows)
+    — decision rows (doc_id, lang, n_tokens, pack_id) for the training-mix
+    builder. Every stage is individually oracle-checked
+    (`decontamination`, `stratified_sample`, `sequence_packing`); this
+    query pins their COMPOSITION against one chained SQL oracle."""
+    from py_mongo_sync_spark.operators.decontaminate import decontaminate
+    from py_mongo_sync_spark.operators.packing import pack_greedy
+    from py_mongo_sync_spark.operators.sampling import stratified_cap
+
+    d = _t(spark, sf, "documents")
+    corpus = d.where("doc_id % 20 <> 0")
+    bench = d.where("doc_id % 20 = 0")
+    clean = decontaminate(corpus, bench).select("doc_id", "lang", "text")
+    sampled = stratified_cap(clean, ["lang"], 30)
+    toks = sampled.select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    return pack_greedy(toks, budget=512, group_cols=["lang"])
+
+
 def q_pii_redaction(spark, sf):
     """PII scrub (functions/text.py::redact_pii): deterministic synthetic
     email+IP markers are appended to each doc (the fixture corpus carries
@@ -811,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "stratified_sample": q_stratified_sample,
         "pii_redaction": q_pii_redaction,
+        "training_mix": q_training_mix,
         "curated_corpus": q_curated_corpus,
         "simhash_fingerprint": q_simhash_fingerprint,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
@@ -1414,6 +1438,75 @@ def _hash_parity_oracles() -> dict[str, str]:
         FROM corpus c LEFT JOIN hits h ON h.cid = c.doc_id
     """
 
+    # --- training mix: decontaminate -> stratified cap -> greedy pack,
+    # one chained SQL (re-uses the decon banding CTEs; packing is the same
+    # recursive greedy walk restricted to the sampled docs)
+    training_mix = f"""
+        WITH RECURSIVE corpus AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 20 <> 0),
+        bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        {_banded_cte('corpus', 'c')},
+        {_banded_cte('bench', 'bn')},
+        cand AS (
+            SELECT DISTINCT c.doc_id AS cid, b.doc_id AS bid
+            FROM bandsc c JOIN bandsbn b
+              ON c.band = b.band AND c.bkey = b.bkey
+        ),
+        setsc AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, greatest(len(text) - 4, 1) + 1),
+                                 i -> substr(text, i::INT, 5))) AS s
+            FROM corpus
+        ),
+        setsb AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, greatest(len(text) - 4, 1) + 1),
+                                 i -> substr(text, i::INT, 5))) AS s
+            FROM bench
+        ),
+        hits AS (
+            SELECT DISTINCT cand.cid
+            FROM cand
+            JOIN setsc sa ON sa.doc_id = cand.cid
+            JOIN setsb sb ON sb.doc_id = cand.bid
+            WHERE len(list_intersect(sa.s, sb.s)) * 100
+                  >= 80 * (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+        ),
+        clean AS (
+            SELECT c.doc_id, c.lang, c.text FROM corpus c
+            WHERE c.doc_id NOT IN (SELECT cid FROM hits)
+        ),
+        sampled AS (
+            SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM (
+                SELECT doc_id, lang, text,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                                    doc_id
+                       ) AS rk
+                FROM clean
+            ) WHERE rk <= 30
+        ),
+        dd AS (
+            SELECT doc_id, lang, n_tokens,
+                   row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+            FROM sampled
+        ),
+        walk AS (
+            SELECT lang, rn, doc_id, n_tokens,
+                   n_tokens AS acc, CAST(0 AS BIGINT) AS pack_id
+            FROM dd WHERE rn = 1
+            UNION ALL
+            SELECT dd.lang, dd.rn, dd.doc_id, dd.n_tokens,
+                   CASE WHEN w.acc + dd.n_tokens <= 512
+                        THEN w.acc + dd.n_tokens ELSE dd.n_tokens END,
+                   CASE WHEN w.acc + dd.n_tokens <= 512
+                        THEN w.pack_id ELSE w.pack_id + 1 END
+            FROM walk w JOIN dd ON dd.lang = w.lang AND dd.rn = w.rn + 1
+        )
+        SELECT doc_id, lang, n_tokens, pack_id FROM walk
+    """
+
+
     # --- LSH-bucketed ANN (6 md5-weight hyperplanes over 64 dims)
     def wlist(p: int) -> str:
         return (
@@ -1499,6 +1592,7 @@ def _hash_parity_oracles() -> dict[str, str]:
         "neardup_clusters": neardup_clusters_sql,
         "decontamination": decon,
         "sequence_packing": packing,
+        "training_mix": training_mix,
         "pii_redaction": """
             WITH inj AS (
                 SELECT doc_id,

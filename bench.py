@@ -326,6 +326,30 @@ def run_headline_queries(spark, attempts: int = 3) -> tuple[dict, dict]:
     return best, all_attempts
 
 
+#: r4 operators benched separately — NOT in the headline sum (`value`), so
+#: cross-round totals stay comparable with r1-r3 artifacts.
+EXTRA_QUERY_NAMES = [
+    "decontamination", "sequence_packing", "stratified_sample",
+    "pii_redaction", "dedup_exact_stream",
+]
+
+
+def run_extra_queries(spark, attempts: int = 2) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in EXTRA_QUERY_NAMES:
+        ts = []
+        for _ in range(attempts):
+            t0 = time.monotonic()
+            df = qs[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            ts.append(round(time.monotonic() - t0, 3))
+        out[name] = min(ts)
+    return out
+
+
 def _log(msg):
     print(f"[bench +{time.monotonic()-_T0:.0f}s] {msg}", file=sys.stderr, flush=True)
 
@@ -383,6 +407,8 @@ def main():
     spark = _spark(CPUS)
     _log("headline queries")
     queries, query_attempts = run_headline_queries(spark)
+    _log("extra (r4) queries")
+    queries_extra = run_extra_queries(spark)
     spark.stop()
 
     shutil.rmtree(data_dir, ignore_errors=True)
@@ -394,6 +420,7 @@ def main():
         value=round(sum(queries.values()), 2),
         queries=queries,
         query_attempts=query_attempts,
+        queries_extra=queries_extra,
         cdc={
             "n_events": N_EVENTS,
             "events_per_sec": hi["events_per_sec"],

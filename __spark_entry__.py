@@ -563,6 +563,22 @@ def q_neardup_clusters(spark, sf):
                             warn_oversized=False)
 
 
+def q_doc_repetition(spark, sf):
+    """Intra-document repetition detector
+    (functions/text.py::repetition_ratio): 1 - distinct/total word
+    3-grams — degenerate text (boilerplate loops, model repetition)
+    scores high. Pure JVM array expressions; the DuckDB oracle rebuilds
+    the identical n-gram list."""
+    from py_mongo_sync_spark.functions.text import repetition_ratio
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        repetition_ratio(F.col("text"), 3).alias("rep3"),
+        repetition_ratio(F.col("text"), 1).alias("rep1"),
+    )
+
+
 def q_training_mix(spark, sf):
     """The shipped pipeline end-to-end, ONE composed plan: benchmark
     decontamination (remove eval-set leaks) ∘ deterministic stratified cap
@@ -835,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pii_redaction": q_pii_redaction,
         "training_mix": q_training_mix,
+        "doc_repetition": q_doc_repetition,
         "curated_corpus": q_curated_corpus,
         "simhash_fingerprint": q_simhash_fingerprint,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
@@ -1593,6 +1610,20 @@ def _hash_parity_oracles() -> dict[str, str]:
         "decontamination": decon,
         "sequence_packing": packing,
         "training_mix": training_mix,
+        "doc_repetition": """
+            WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws
+                       FROM documents),
+            g AS (SELECT doc_id,
+                    list_transform(range(0, greatest(len(ws) - 2, 1)),
+                        i -> array_to_string(list_slice(ws, i + 1, i + 3), ' ')) AS g3,
+                    list_transform(range(0, greatest(len(ws), 1)),
+                        i -> ws[i + 1]) AS g1
+                  FROM w)
+            SELECT doc_id,
+                   round(1 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE), 4) AS rep3,
+                   round(1 - len(list_distinct(g1)) / CAST(len(g1) AS DOUBLE), 4) AS rep1
+            FROM g
+        """,
         "pii_redaction": """
             WITH inj AS (
                 SELECT doc_id,

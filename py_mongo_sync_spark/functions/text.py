@@ -117,3 +117,20 @@ def pii_hit_counts(text: Column) -> Column:
             for _, p in PII_PATTERNS
         ]),
     )
+
+
+def repetition_ratio(text: Column, n: int = 3) -> Column:
+    """Intra-document repetition: 1 - distinct/total word n-grams — the
+    cheap degenerate-text detector (boilerplate, keyboard mash, model
+    loops score high; healthy prose near 0). Whole-JVM array expressions;
+    single-n-gram docs score 0 by definition."""
+    words = F.split(F.trim(text), r" ")
+    m = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(0), m - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return F.round(
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams).cast("double"),
+        4,
+    )

@@ -24,3 +24,20 @@ def test_redact_pii_and_counts(spark):
     counts = df.select(pii_hit_counts(F.col("text")).alias("c")).collect()
     assert dict(counts[1]["c"])["[IP]"] == 2
     assert dict(counts[4]["c"]) == {"[EMAIL]": 0, "[IP]": 0, "[PHONE]": 0, "[SSN]": 0}
+
+
+def test_repetition_ratio(spark):
+    from pyspark.sql import functions as F
+
+    from py_mongo_sync_spark.functions.text import repetition_ratio
+
+    rows = [
+        ("a b c d e f g h",),              # all 3-grams distinct → 0
+        ("spam spam spam spam spam spam",),  # one distinct 3-gram
+        ("xy",),                            # single word → 0 by definition
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = [r[0] for r in df.select(repetition_ratio(F.col("text"), 3)).collect()]
+    assert got[0] == 0.0
+    assert got[1] == 0.75     # 4 grams, 1 distinct → 1 - 1/4
+    assert got[2] == 0.0

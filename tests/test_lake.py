@@ -475,3 +475,36 @@ def test_merge_retries_after_losing_commit_race(spark, tmp_path):
     res2 = t2.merge(_src(spark, [("q", 5, "OTHER", TS[5], "u", False)]), batch_id=60)
     assert res2["skipped"]                          # no double-apply
     assert t2.read().where("conv_id = 'q'").first()["text"] == "v"
+
+
+def test_expire_versions_reaps_conflict_loser_staging(spark, tmp_path):
+    """The unique per-attempt staging dirs (dual-writer isolation) must not
+    leak forever: a commit-conflict loser's staged parquet files are
+    unreferenced by any manifest, and expire_versions reaps them."""
+    import glob
+    import json as _json
+    import os
+
+    import pytest
+
+    from py_mongo_sync_spark.plans.lake import CommitConflict
+
+    t = _mk(spark, tmp_path, [("a", 0, "x", TS[0])])
+    v = t.latest_version()
+    claim = os.path.join(t._versions_dir, f"v{v + 1:08d}.json")
+    with open(claim, "w") as f:
+        _json.dump({"version": v + 1, "inflight": True}, f)  # young claim
+    with pytest.raises(CommitConflict):
+        t.merge(_src(spark, [("a", 0, "x2", TS[1], "u", False)]),
+                batch_id=1, retries=0)
+    all_parquet = glob.glob(os.path.join(t.path, "data", "**", "*.parquet"),
+                            recursive=True)
+    m = t.manifest()
+    referenced = {p for fs in m["buckets"].values() for p in fs}
+    orphans = [p for p in all_parquet if p not in referenced]
+    assert orphans, "loser should have staged files"
+    t.expire_versions(keep=1)
+    left = glob.glob(os.path.join(t.path, "data", "**", "*.parquet"),
+                     recursive=True)
+    assert set(left) == referenced  # orphans reaped, committed files intact
+    assert t.read().first()["text"] == "x"

@@ -563,6 +563,17 @@ def q_neardup_clusters(spark, sf):
                             warn_oversized=False)
 
 
+def q_doc_chunking(spark, sf):
+    """Overlapping-window chunking (operators/chunking.py): 40-word
+    windows, 8-word overlap — the split-side sibling of sequence packing.
+    Pure integer index math, so the DuckDB oracle rebuilds the identical
+    chunk set."""
+    from py_mongo_sync_spark.operators.chunking import chunk_documents
+
+    d = _t(spark, sf, "documents")
+    return chunk_documents(d, chunk_words=40, overlap_words=8)
+
+
 def q_doc_repetition(spark, sf):
     """Intra-document repetition detector
     (functions/text.py::repetition_ratio): 1 - distinct/total word
@@ -852,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "training_mix": q_training_mix,
         "doc_repetition": q_doc_repetition,
+        "doc_chunking": q_doc_chunking,
         "curated_corpus": q_curated_corpus,
         "simhash_fingerprint": q_simhash_fingerprint,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
@@ -1610,6 +1622,19 @@ def _hash_parity_oracles() -> dict[str, str]:
         "decontamination": decon,
         "sequence_packing": packing,
         "training_mix": training_mix,
+        "doc_chunking": """
+            WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws
+                       FROM documents),
+            c AS (SELECT doc_id, ws,
+                         greatest((len(ws) - 8 + 31) // 32, 1) AS nch
+                  FROM w)
+            SELECT doc_id,
+                   CAST(i AS INT) AS chunk_idx,
+                   array_to_string(list_slice(ws, i * 32 + 1, i * 32 + 40), ' ')
+                       AS chunk_text,
+                   len(list_slice(ws, i * 32 + 1, i * 32 + 40)) AS n_words
+            FROM c, unnest(range(0, nch)) AS t(i)
+        """,
         "doc_repetition": """
             WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws
                        FROM documents),

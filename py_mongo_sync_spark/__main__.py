@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="admin: physically drop tombstones older than this "
                          "optime (a safe horizon past stream retention) and "
                          "exit")
+    ap.add_argument("--stats", action="store_true",
+                    help="print table-health JSON (bucket sizes, skew, "
+                         "pending deltas, rebucket advisory) and exit")
     ap.add_argument("--expire-versions", type=int, default=None, metavar="K",
                     help="admin: delete data files unreferenced by the "
                          "newest K table versions and exit")
@@ -94,7 +97,7 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("py_mongo_sync_spark", cores=args.cores)
     admin = (args.rebucket is not None or args.vacuum_tombstones is not None
-             or args.expire_versions is not None)
+             or args.expire_versions is not None or args.stats)
     if admin:
         from py_mongo_sync_spark.plans.lake import LakeTable
         from py_mongo_sync_spark.schema import FIXTURE_EPOCH
@@ -114,6 +117,8 @@ def main(argv: list[str] | None = None) -> int:
             )
             res = table.vacuum_tombstones(horizon)
             print(json.dumps({"stage": "VACUUM_TOMBSTONES", **res}))
+        if args.stats:
+            print(json.dumps({"stage": "STATS", **table.bucket_stats()}))
         if args.expire_versions is not None:
             removed = table.expire_versions(args.expire_versions)
             print(json.dumps({"stage": "EXPIRE_VERSIONS",

@@ -975,6 +975,45 @@ class LakeTable:
                   "n_delta_files int, write_mode string, is_latest boolean")
         return self.spark.createDataFrame(rows, schema)
 
+    def bucket_stats(self) -> dict:
+        """Table-health telemetry from the manifest + file sizes alone (no
+        Spark job, no row scan): per-bucket bytes/file counts, skew ratio
+        (max/median bucket bytes), pending MoR deltas, and a rebucket
+        advisory — a bucket layout sized for yesterday's table silently
+        degrades MERGE pruning as the table grows 100×, and this is the
+        signal an operator (or a cron) watches to schedule ``rebucket``.
+        Driver-side cost: O(n_buckets + files) stat calls."""
+        m = self.manifest()
+        per_bucket = {}
+        for b, files in m.get("buckets", {}).items():
+            n_bytes = sum(
+                os.path.getsize(p) for p in files if os.path.exists(p)
+            )
+            per_bucket[b] = {"files": len(files), "bytes": n_bytes}
+        n_deltas = sum(len(v) for v in m.get("deltas", {}).values())
+        sizes = sorted(v["bytes"] for v in per_bucket.values()) or [0]
+        median = sizes[len(sizes) // 2]
+        mx = sizes[-1]
+        avg = sum(sizes) / len(sizes)
+        skew = round(mx / median, 2) if median else None
+        # ~128-256 MB parquet per bucket file is the sweet spot at scale;
+        # advise doubling once the AVERAGE bucket outgrows it (max alone
+        # flags skew, which salting/AQE handle — resizing won't)
+        advise = avg > 256 * 1024 * 1024
+        return {
+            "version": m["version"],
+            "n_buckets": m["n_buckets"],
+            "write_mode": m.get("write_mode", "cow"),
+            "total_bytes": int(sum(sizes)),
+            "avg_bucket_bytes": int(avg),
+            "median_bucket_bytes": int(median),
+            "max_bucket_bytes": int(mx),
+            "skew_max_over_median": skew,
+            "pending_delta_files": n_deltas,
+            "rebucket_advised": bool(advise),
+            "advised_n_buckets": int(m["n_buckets"] * 2) if advise else None,
+        }
+
     #: Marker persisted INSIDE the table dir for the duration of a rename:
     #: written (with the pre-move path) before ``os.rename`` and removed
     #: only after every manifest's path prefixes are rewritten, so a crash

@@ -508,3 +508,17 @@ def test_expire_versions_reaps_conflict_loser_staging(spark, tmp_path):
                      recursive=True)
     assert set(left) == referenced  # orphans reaped, committed files intact
     assert t.read().first()["text"] == "x"
+
+
+def test_bucket_stats_health_telemetry(spark, tmp_path):
+    """bucket_stats: manifest+stat-call-only table health — sizes, skew,
+    deltas, and a rebucket advisory keyed on AVERAGE bucket size (max
+    alone is skew, which salting handles; resizing wouldn't)."""
+    rows = [(f"c{i}", 0, "x" * 50, TS[0]) for i in range(64)]
+    t = _mk(spark, tmp_path, rows, n_buckets=4)
+    st = t.bucket_stats()
+    assert st["n_buckets"] == 4 and st["version"] == t.latest_version()
+    assert st["total_bytes"] > 0
+    assert st["pending_delta_files"] == 0
+    assert st["rebucket_advised"] is False and st["advised_n_buckets"] is None
+    assert st["skew_max_over_median"] >= 1.0

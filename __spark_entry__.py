@@ -563,6 +563,26 @@ def q_neardup_clusters(spark, sf):
                             warn_oversized=False)
 
 
+def q_vocab_topk(spark, sf):
+    """Corpus vocabulary profile: top-5 tokens per language by frequency
+    (ties broken lexically) — explode → one groupBy → per-group top-k
+    window; the corpus-mix fingerprint a data audit reports."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf, "documents")
+    tok = d.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("token"),
+    )
+    counts = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "token")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where("rk <= 5")
+        .select("lang", "token", "n", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 def q_doc_chunking(spark, sf):
     """Overlapping-window chunking (operators/chunking.py): 40-word
     windows, 8-word overlap — the split-side sibling of sequence packing.
@@ -680,6 +700,21 @@ def q_decontamination(spark, sf):
     corpus = d.where("doc_id % 20 <> 0")
     bench = d.where("doc_id % 20 = 0")
     return contamination_decision(corpus, bench)
+
+
+def q_neardup_ingest(spark, sf):
+    """Dedup-on-ingest (operators/ingest_dedup.py): every 3rd document
+    plays the newly-arrived CDC batch, the rest the already-ingested
+    corpus whose banded signature index is consulted; each new doc is
+    flagged duplicate-of (min matching seen id or lower-id batch peer) or
+    novel. The incremental member of the dedup family — per-batch cost is
+    O(batch x touched buckets), never corpus^2."""
+    from py_mongo_sync_spark.operators.ingest_dedup import ingest_decisions
+
+    d = _t(spark, sf, "documents")
+    seen = d.where("doc_id % 3 <> 0").select("doc_id", "text")
+    new = d.where("doc_id % 3 = 0").select("doc_id", "text")
+    return ingest_decisions(new, seen)
 
 
 def q_simhash_fingerprint(spark, sf):
@@ -842,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_summary": q_lang_summary,
         "doc_fingerprint": q_doc_fingerprint,
+        "vocab_topk": q_vocab_topk,
         "ngram_jaccard_neardup": q_ngram_jaccard_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_label_norms": q_embedding_label_norms,
@@ -858,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "neardup_clusters": q_neardup_clusters,
         "decontamination": q_decontamination,
+        "neardup_ingest": q_neardup_ingest,
         "sequence_packing": q_sequence_packing,
         "stratified_sample": q_stratified_sample,
         "pii_redaction": q_pii_redaction,
@@ -982,6 +1019,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars,
                    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
             FROM documents GROUP BY lang
+        """,
+        "vocab_topk": """
+            SELECT lang, token, n, rk FROM (
+                SELECT lang, token, count(*) AS n,
+                       CAST(row_number() OVER (
+                            PARTITION BY lang
+                            ORDER BY count(*) DESC, token) AS INTEGER) AS rk
+                FROM (
+                    SELECT lang,
+                           unnest(string_split(lower(trim(text)), ' ')) AS token
+                    FROM documents
+                )
+                GROUP BY lang, token
+            ) WHERE rk <= 5
         """,
         "doc_fingerprint": """
             SELECT source,
@@ -1467,6 +1518,74 @@ def _hash_parity_oracles() -> dict[str, str]:
         FROM corpus c LEFT JOIN hits h ON h.cid = c.doc_id
     """
 
+    # --- dedup-on-ingest: seen corpus (doc_id % 3 <> 0) vs new batch
+    # (doc_id % 3 = 0); banded candidates new x seen (index mega-buckets
+    # degrade to the min-id representative) plus capped within-batch pairs,
+    # exact-Jaccard verify, one decision row per new doc
+    ingest = f"""
+        WITH seend AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        {_banded_cte('seend', 's')},
+        {_banded_cte('newd', 'n')},
+        sizess AS (SELECT band, bkey, count(*) AS n, min(doc_id) AS rep
+                   FROM bandss GROUP BY band, bkey),
+        cands AS (
+            SELECT DISTINCT nb.doc_id AS nid, sb.doc_id AS mid
+            FROM bandsn nb
+            JOIN bandss sb ON nb.band = sb.band AND nb.bkey = sb.bkey
+            JOIN sizess z ON z.band = nb.band AND z.bkey = nb.bkey
+            WHERE z.n <= {cap} OR sb.doc_id = z.rep
+        ),
+        sizesn AS (SELECT band, bkey, count(*) AS n, min(doc_id) AS rep
+                   FROM bandsn GROUP BY band, bkey),
+        candn AS (
+            SELECT DISTINCT doc_a, doc_b FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bandsn a
+                JOIN bandsn b ON a.band = b.band AND a.bkey = b.bkey
+                             AND a.doc_id < b.doc_id
+                JOIN sizesn z ON z.band = a.band AND z.bkey = a.bkey
+                WHERE z.n <= {cap}
+                UNION ALL
+                SELECT z.rep AS doc_a, t.doc_id AS doc_b
+                FROM bandsn t JOIN sizesn z ON z.band = t.band AND z.bkey = t.bkey
+                WHERE z.n > {cap} AND t.doc_id <> z.rep
+            )
+        ),
+        setsS AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, greatest(len(text) - 4, 1) + 1),
+                                 i -> substr(text, i::INT, 5))) AS s
+            FROM seend
+        ),
+        setsN AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, greatest(len(text) - 4, 1) + 1),
+                                 i -> substr(text, i::INT, 5))) AS s
+            FROM newd
+        ),
+        hits AS (
+            SELECT nid, min(mid) AS dup_of, count(*) AS n_matches FROM (
+                SELECT c.nid, c.mid
+                FROM cands c
+                JOIN setsN sa ON sa.doc_id = c.nid
+                JOIN setsS sb ON sb.doc_id = c.mid
+                WHERE len(list_intersect(sa.s, sb.s)) * 100
+                      >= {thr} * (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+                UNION ALL
+                SELECT c.doc_b AS nid, c.doc_a AS mid
+                FROM candn c
+                JOIN setsN sa ON sa.doc_id = c.doc_a
+                JOIN setsN sb ON sb.doc_id = c.doc_b
+                WHERE len(list_intersect(sa.s, sb.s)) * 100
+                      >= {thr} * (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+            ) GROUP BY nid
+        )
+        SELECT nd.doc_id, (h.dup_of IS NOT NULL) AS is_dup, h.dup_of,
+               coalesce(h.n_matches, 0) AS n_matches
+        FROM newd nd LEFT JOIN hits h ON h.nid = nd.doc_id
+    """
+
     # --- training mix: decontaminate -> stratified cap -> greedy pack,
     # one chained SQL (re-uses the decon banding CTEs; packing is the same
     # recursive greedy walk restricted to the sampled docs)
@@ -1620,6 +1739,7 @@ def _hash_parity_oracles() -> dict[str, str]:
         "minhash_neardup": minhash,
         "neardup_clusters": neardup_clusters_sql,
         "decontamination": decon,
+        "neardup_ingest": ingest,
         "sequence_packing": packing,
         "training_mix": training_mix,
         "doc_chunking": """

@@ -330,7 +330,7 @@ def run_headline_queries(spark, attempts: int = 3) -> tuple[dict, dict]:
 #: cross-round totals stay comparable with r1-r3 artifacts.
 EXTRA_QUERY_NAMES = [
     "decontamination", "sequence_packing", "stratified_sample",
-    "pii_redaction", "dedup_exact_stream",
+    "pii_redaction", "dedup_exact_stream", "neardup_ingest", "vocab_topk",
 ]
 
 

@@ -1,0 +1,168 @@
+"""Ingest-time near-duplicate detection — dedup-on-ingest for a CDC feed.
+
+The dedup family's INCREMENTAL member: where ``neardup_clusters`` dedups a
+corpus at rest (corpus x corpus) and ``decontaminate`` screens it against a
+small benchmark set, this operator screens each NEW BATCH of documents
+arriving on the CDC stream against everything already ingested — the shape
+a transcript-ingest pipeline actually runs, because re-clustering 10^10
+stored documents per micro-batch is not an option.
+
+Reference analogue: none (the reference has no analytics operators); the
+incremental contract mirrors its oplog tail-and-apply loop
+(/root/reference/mongosync/mongo/handler.py:122-135) — per-batch work is
+proportional to the batch, state carries between batches.
+
+Spark-first cost profile, reusing the oracle-parity MinHash machinery
+(functions/similarity.py, operators/neardup.py):
+
+- the "seen" state is the banded signature index — (_id, band, bkey) rows,
+  NOT the documents: at scale it lives in a LakeTable hash-bucketed on
+  ``xxhash64(bkey)``, so the per-batch candidate probe prunes to the
+  buckets the batch actually touches (the same probe-then-prune contract
+  as the CDC MERGE, plans/lake.py);
+- new docs are shingled + signed ONCE (one md5 per shingle row, affine
+  min-aggregates in one groupBy) — the index side is never recomputed;
+- candidates come from an EQUI-join batch-bands x index-bands; a mega
+  bucket on the index side degrades to one edge per new doc against the
+  bucket's min-id representative (O(batch), counted telemetry — the same
+  ``max_bucket`` policy as ``capped_candidate_pairs``), and within-batch
+  pairs use ``capped_candidate_pairs`` itself;
+- candidates are verified with EXACT shingle-set Jaccard (integer
+  cross-multiply threshold, bit-identical to the SQL oracle); the seen
+  side's text is fetched by an id equi-join bounded by the candidate
+  count (bucket-pruned point lookups at scale, never a corpus scan);
+- the decision is one row per NEW doc: duplicate-of (min matching id
+  among seen docs and lower-id batch peers — the union policy: a batch
+  doc that matches an already-rejected peer is still rejected, which is
+  deterministic and SQL-expressible, and conservative in the right
+  direction for training-data hygiene) or novel; novel docs' band rows
+  are the index delta to append.
+
+Per-batch cost is thus O(|batch| x touched-bucket occupancy), never
+O(|corpus|^2) — the property that lets the operator run forever on a
+100 TB feed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from py_mongo_sync_spark.functions.similarity import char_shingles
+from py_mongo_sync_spark.operators.neardup import (
+    banded_signature_rows,
+    capped_candidate_pairs,
+    verify_pairs_jaccard,
+)
+
+
+def _shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int, ida: str, seta: str
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(ida),
+        F.array_distinct(char_shingles(text_col, k)).alias(seta),
+    )
+
+
+def ingest_decisions(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    seen_bands: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 8,
+    k: int = 5,
+    threshold_pct: int = 80,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """One row per new doc: (doc_id, is_dup, dup_of, n_matches).
+
+    ``seen_bands`` is the persisted signature index — (_id, band, bkey)
+    rows from prior ``ingest_batch`` calls. When None (tests, oracle), it
+    is recomputed from ``seen_docs``; production passes the stored index
+    so the seen corpus is never re-signed. ``seen_docs`` is only consulted
+    for the exact-Jaccard verify of the (bounded) candidate set.
+    """
+    nb = banded_signature_rows(new_docs, id_col, text_col, n_hashes, bands, k)
+    sb = (
+        seen_bands
+        if seen_bands is not None
+        else banded_signature_rows(seen_docs, id_col, text_col, n_hashes, bands, k)
+    )
+
+    # --- candidates vs the index, mega-buckets capped to the representative
+    sizes = sb.groupBy("band", "bkey").agg(
+        F.count(F.lit(1)).alias("_n"), F.min("_id").alias("_rep")
+    )
+    cand_seen = (
+        nb.join(sb.select(F.col("_id").alias("_sid"), "band", "bkey"),
+                ["band", "bkey"])
+        .join(sizes, ["band", "bkey"])
+        .where((F.col("_n") <= max_bucket) | (F.col("_sid") == F.col("_rep")))
+        .select(F.col("_id").alias("nid"), F.col("_sid").alias("mid"))
+        .distinct()
+    )
+
+    # --- candidates within the batch (doc_a < doc_b: lower id is "earlier")
+    batch_pairs, _ = capped_candidate_pairs(nb, max_bucket)
+
+    # --- exact-Jaccard verify, candidates only
+    vs = (
+        cand_seen
+        .join(_shingle_sets(new_docs, id_col, text_col, k, "nid", "_ns"), "nid")
+        .join(_shingle_sets(seen_docs, id_col, text_col, k, "mid", "_ms"), "mid")
+    )
+    inter = F.size(F.array_intersect("_ns", "_ms"))
+    union = F.size("_ns") + F.size("_ms") - inter
+    seen_hits = (
+        vs.where(inter * 100 >= F.lit(threshold_pct) * union)
+        .select("nid", "mid")
+    )
+    batch_hits = verify_pairs_jaccard(
+        new_docs, batch_pairs, id_col, text_col, k, threshold_pct
+    ).select(F.col("doc_b").alias("nid"), F.col("doc_a").alias("mid"))
+
+    hits = (
+        seen_hits.unionByName(batch_hits)
+        .groupBy("nid")
+        .agg(F.min("mid").alias("dup_of"), F.count(F.lit(1)).alias("n_matches"))
+    )
+    return (
+        new_docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, F.col("doc_id") == hits["nid"], "left")
+        .select(
+            "doc_id",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+        )
+    )
+
+
+def ingest_batch(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    seen_bands: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 8,
+    k: int = 5,
+    threshold_pct: int = 80,
+    max_bucket: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """(decisions, index_delta): the per-batch ingest step.
+
+    ``index_delta`` is the band rows of NOVEL docs only — append it to the
+    signature index (and the novel docs to the kept corpus) before the
+    next batch; rejected duplicates never enter the index, so the index
+    grows with the DEDUPED corpus, not the raw feed.
+    """
+    decisions = ingest_decisions(
+        new_docs, seen_docs, seen_bands, id_col, text_col,
+        n_hashes, bands, k, threshold_pct, max_bucket,
+    )
+    nb = banded_signature_rows(new_docs, id_col, text_col, n_hashes, bands, k)
+    novel = decisions.where(~F.col("is_dup")).select(F.col("doc_id").alias("_id"))
+    return decisions, nb.join(novel, "_id", "left_semi")

@@ -84,6 +84,11 @@ def ingest_decisions(
     so the seen corpus is never re-signed. ``seen_docs`` is only consulted
     for the exact-Jaccard verify of the (bounded) candidate set.
     """
+    # The band frames are referenced multiple times below (self-join,
+    # size probe, candidate join); because everything lands in ONE query,
+    # Spark's ReuseExchange computes each identical signing subtree once —
+    # checkpoint/persist here measures SLOWER (forced sequential jobs +
+    # RDD round-trip beat nothing: the reuse was already free).
     nb = banded_signature_rows(new_docs, id_col, text_col, n_hashes, bands, k)
     sb = (
         seen_bands
@@ -107,11 +112,19 @@ def ingest_decisions(
     # --- candidates within the batch (doc_a < doc_b: lower id is "earlier")
     batch_pairs, _ = capped_candidate_pairs(nb, max_bucket)
 
-    # --- exact-Jaccard verify, candidates only
+    # --- exact-Jaccard verify, candidates only. Shingle the seen side
+    # AFTER a semi-join to the matched ids so the verify cost is bounded by
+    # the candidate count, not the corpus (at 100 TB these are bucket-pruned
+    # point lookups; shingling 10^10 stored docs per batch is not an option)
+    seen_cand_docs = seen_docs.join(
+        cand_seen.select(F.col("mid").alias(id_col)).distinct(),
+        id_col, "left_semi",
+    )
     vs = (
         cand_seen
         .join(_shingle_sets(new_docs, id_col, text_col, k, "nid", "_ns"), "nid")
-        .join(_shingle_sets(seen_docs, id_col, text_col, k, "mid", "_ms"), "mid")
+        .join(_shingle_sets(seen_cand_docs, id_col, text_col, k, "mid", "_ms"),
+              "mid")
     )
     inter = F.size(F.array_intersect("_ns", "_ms"))
     union = F.size("_ns") + F.size("_ms") - inter

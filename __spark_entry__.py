@@ -702,6 +702,22 @@ def q_decontamination(spark, sf):
     return contamination_decision(corpus, bench)
 
 
+def q_ngram_decontamination(spark, sf):
+    """Exact 13-word-gram overlap decontamination
+    (operators/decontaminate.py::ngram_contamination_decision): the strict
+    verbatim-overlap sibling of the MinHash screen, same corpus/benchmark
+    split — a corpus doc is dirty iff it shares ANY 13-word run with any
+    benchmark doc. Linear in corpus tokens, benchmark grams broadcast."""
+    from py_mongo_sync_spark.operators.decontaminate import (
+        ngram_contamination_decision,
+    )
+
+    d = _t(spark, sf, "documents")
+    corpus = d.where("doc_id % 20 <> 0")
+    bench = d.where("doc_id % 20 = 0")
+    return ngram_contamination_decision(corpus, bench)
+
+
 def q_neardup_ingest(spark, sf):
     """Dedup-on-ingest (operators/ingest_dedup.py): every 3rd document
     plays the newly-arrived CDC batch, the rest the already-ingested
@@ -895,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "decontamination": q_decontamination,
         "neardup_ingest": q_neardup_ingest,
+        "ngram_decontamination": q_ngram_decontamination,
         "sequence_packing": q_sequence_packing,
         "stratified_sample": q_stratified_sample,
         "pii_redaction": q_pii_redaction,
@@ -1033,6 +1050,39 @@ def oracle_sql() -> dict[str, str]:
                 )
                 GROUP BY lang, token
             ) WHERE rk <= 5
+        """,
+        "ngram_decontamination": """
+            WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS ws
+                            FROM documents WHERE doc_id % 20 <> 0),
+            bench AS (SELECT doc_id, string_split(text, ' ') AS ws
+                      FROM documents WHERE doc_id % 20 = 0),
+            cg AS (
+                SELECT DISTINCT doc_id, g FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               range(1, greatest(len(ws) - 13 + 1, 0) + 1),
+                               i -> array_to_string(list_slice(ws, i, i + 12), ' ')
+                           )) AS g
+                    FROM corpus)
+            ),
+            bg AS (
+                SELECT g, min(doc_id) AS gbid FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               range(1, greatest(len(ws) - 13 + 1, 0) + 1),
+                               i -> array_to_string(list_slice(ws, i, i + 12), ' ')
+                           )) AS g
+                    FROM bench)
+                GROUP BY g
+            ),
+            hits AS (
+                SELECT cg.doc_id AS cid, min(bg.gbid) AS bench_id,
+                       count(*) AS n_hit_ngrams
+                FROM cg JOIN bg USING (g) GROUP BY cg.doc_id
+            )
+            SELECT c.doc_id, (h.bench_id IS NOT NULL) AS dirty, h.bench_id,
+                   coalesce(h.n_hit_ngrams, 0) AS n_hit_ngrams
+            FROM corpus c LEFT JOIN hits h ON h.cid = c.doc_id
         """,
         "doc_fingerprint": """
             SELECT source,

@@ -112,3 +112,67 @@ def decontaminate(
     return corpus.join(
         clean, corpus[id_col] == clean["doc_id"], "left_semi"
     )
+
+
+def ngram_contamination_decision(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """EXACT word-n-gram overlap decontamination — the strict sibling of
+    ``contamination_decision``: a corpus doc is dirty iff it shares ANY
+    verbatim n-word run with any benchmark doc (the published "dirty
+    document" definition used for held-out-set hygiene; n=13 is the
+    customary window). No hashing, no probability: exact string equality
+    on the n-gram, so there are no false positives at all and recall is
+    exactly "verbatim overlap of >= n words".
+
+    Spark-first cost: each side explodes to (doc, n-gram) rows ONCE; the
+    benchmark side collapses to DISTINCT n-grams with a min-id evidence
+    pointer and is broadcast-small by definition (thousands of eval docs);
+    the decision is one equi-join corpus-grams x bench-grams followed by a
+    per-doc aggregate — linear in corpus token count, no pair space
+    anywhere. Returns one row per corpus doc:
+    (doc_id, dirty, bench_id, n_hit_ngrams) with bench_id the minimum
+    benchmark doc sharing a gram (NULL when clean).
+    """
+    def _grams(df: DataFrame, idc: str, txt: str, ida: str) -> DataFrame:
+        ws = F.split(F.col(txt), " ")
+        grams = F.when(
+            F.size(ws) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - n),
+                lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select(F.col(idc).alias(ida), F.explode(grams).alias("g"))
+
+    bg = (
+        _grams(benchmark, bench_id_col, bench_text_col, "_bid")
+        .groupBy("g")
+        .agg(F.min("_bid").alias("_gbid"))
+    )
+    hits = (
+        _grams(corpus, id_col, text_col, "_cid")
+        .distinct()
+        .join(F.broadcast(bg), "g")
+        .groupBy("_cid")
+        .agg(
+            F.min("_gbid").alias("bench_id"),
+            F.count(F.lit(1)).alias("n_hit_ngrams"),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(hits, F.col("doc_id") == hits["_cid"], "left")
+        .select(
+            "doc_id",
+            F.col("bench_id").isNotNull().alias("dirty"),
+            "bench_id",
+            F.coalesce("n_hit_ngrams", F.lit(0)).alias("n_hit_ngrams"),
+        )
+    )

@@ -44,3 +44,29 @@ def test_decontaminate_removes_only_contaminated(spark):
     ])
     kept = {r["doc_id"] for r in decontaminate(corpus, bench).collect()}
     assert kept == {2, 3}
+
+
+def test_ngram_overlap_flags_verbatim_run_only(spark):
+    from py_mongo_sync_spark.operators.decontaminate import (
+        ngram_contamination_decision,
+    )
+    run13 = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    corpus = _docs(spark, [
+        (1, f"prefix words here {run13} and a suffix tail"),
+        (2, "twelve shared words only: " + " ".join(run13.split()[:12])),
+        (3, "wholly unrelated content with no benchmark overlap at all"),
+        (4, "short doc"),
+    ])
+    bench = _docs(spark, [
+        (100, f"bench doc containing {run13} verbatim"),
+        (50, f"another bench doc with {run13} too"),
+    ])
+    d = {r["doc_id"]: r for r in
+         ngram_contamination_decision(corpus, bench).collect()}
+    # doc 1 shares the full 13-word run -> dirty, evidence = min bench id 50
+    assert d[1]["dirty"] and d[1]["bench_id"] == 50 and d[1]["n_hit_ngrams"] >= 1
+    # 12 shared words is below the window -> clean (exactness, no fuzz)
+    assert not d[2]["dirty"]
+    assert not d[3]["dirty"] and d[3]["n_hit_ngrams"] == 0
+    # fewer than n words -> no grams, clean, no crash
+    assert not d[4]["dirty"]

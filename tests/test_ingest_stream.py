@@ -107,3 +107,38 @@ def test_stream_drive_with_fresh_checkpoint_epoch(spark, tmp_path):
     # corpus unchanged — convergent); new doc 30 near-dups corpus doc 21
     docs = {r["doc_id"] for r in p2.docs_table.read().collect()}
     assert docs == {1, 10, 21}
+
+
+def test_crash_between_docs_and_bands_merge_converges(spark, tmp_path):
+    """The docstring's crash-consistency claim, pinned: driver dies after
+    the docs MERGE but before the bands MERGE — the replayed batch must
+    recompute identical decisions (index unchanged), skip the docs MERGE
+    idempotently, apply the bands MERGE, and leave both tables exactly as
+    an uninterrupted run would."""
+    p = _pipe(spark, tmp_path, "crash")
+    p.initial_load(_docs(spark, [(1, BASE * 4)]))
+    batch = _docs(spark, [(10, NOVEL1 * 4), (11, BASE * 4 + "tail")])
+
+    real_merge = p.bands_table.merge
+    calls = {"n": 0}
+
+    def dying_merge(*a, **kw):
+        calls["n"] += 1
+        raise RuntimeError("injected crash before bands merge")
+
+    p.bands_table.merge = dying_merge
+    with pytest.raises(RuntimeError, match="injected crash"):
+        p.apply_batch(batch, batch_id=0)
+    p.bands_table.merge = real_merge
+
+    # docs committed, bands not — the partial state the replay must repair
+    assert p.docs_table.is_committed(0)
+    assert not p.bands_table.is_committed(0)
+
+    s = p.apply_batch(batch, batch_id=0)
+    assert not s.get("skipped")
+    # doc 10 novel, doc 11 dup of seen doc 1 — same as an uninterrupted run
+    assert (s["n_new"], s["n_dup"], s["n_novel"]) == (2, 1, 1)
+    assert sorted(r["doc_id"] for r in p.docs_table.read().collect()) == [1, 10]
+    assert p.bands_table.read().count() == 2 * 8
+    assert p.bands_table.is_committed(0)

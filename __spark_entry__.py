@@ -702,6 +702,25 @@ def q_decontamination(spark, sf):
     return contamination_decision(corpus, bench)
 
 
+def q_quality_floor(spark, sf):
+    """Corpus-relative quality gate (operators/sampling.py::
+    percentile_floor): keep documents whose token density clears the
+    corpus's 10th percentile — the threshold is one scalar aggregate
+    broadcast into a filter (no global sort), computed EXACTLY here for
+    oracle parity (approx_percentile sketch is the 10^10-row path)."""
+    from py_mongo_sync_spark.operators.sampling import percentile_floor
+
+    d = _t(spark, sf, "documents")
+    dens = d.select(
+        "doc_id",
+        (F.size(F.split(F.col("text"), " "))
+         / F.greatest(F.length("text"), F.lit(1))).alias("density"),
+    )
+    return percentile_floor(dens, "density", frac=0.1, exact=True).select(
+        "doc_id", F.round("density", 4).alias("density")
+    )
+
+
 def q_ngram_decontamination(spark, sf):
     """Exact 13-word-gram overlap decontamination
     (operators/decontaminate.py::ngram_contamination_decision): the strict
@@ -912,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "neardup_ingest": q_neardup_ingest,
         "ngram_decontamination": q_ngram_decontamination,
+        "quality_floor": q_quality_floor,
         "sequence_packing": q_sequence_packing,
         "stratified_sample": q_stratified_sample,
         "pii_redaction": q_pii_redaction,
@@ -1050,6 +1070,17 @@ def oracle_sql() -> dict[str, str]:
                 )
                 GROUP BY lang, token
             ) WHERE rk <= 5
+        """,
+        "quality_floor": """
+            WITH dens AS (
+                SELECT doc_id,
+                       len(string_split(text, ' '))
+                           / CAST(greatest(length(text), 1) AS DOUBLE) AS density
+                FROM documents
+            ),
+            thr AS (SELECT quantile_cont(density, 0.1) AS t FROM dens)
+            SELECT doc_id, round(density, 4) AS density
+            FROM dens, thr WHERE density >= t
         """,
         "ngram_decontamination": """
             WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS ws

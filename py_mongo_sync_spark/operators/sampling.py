@@ -57,3 +57,31 @@ def hash_rate_sample(
         F.pmod(md5_long(F.col(id_col).cast("string"), 8), F.lit(100))
         < F.lit(rate_pct)
     )
+
+
+def percentile_floor(
+    df: DataFrame, value_col: str, frac: float = 0.1, exact: bool = True
+) -> DataFrame:
+    """Drop rows whose ``value_col`` falls below the corpus's ``frac``
+    quantile — the "cut the bottom decile" curation gate, where the
+    threshold is a PROPERTY OF THE CORPUS rather than a constant (contrast
+    ``hash_rate_sample``, whose per-row fate is corpus-independent).
+
+    The threshold is ONE scalar: a single aggregate job broadcast back
+    into a filter — no global sort, no window over the corpus.
+    ``exact=True`` uses Spark's exact ``percentile`` (linear interpolation
+    at rank frac*(n-1), bit-identical to SQL ``quantile_cont`` — the
+    oracle-parity path; its aggregation state holds per-distinct-value
+    counts, fine for bounded-cardinality scores). At 10^10 rows of
+    continuous doubles that state is itself a memory hazard, so the scale
+    path is ``exact=False`` → ``approx_percentile`` (bounded-size
+    quantile sketch, mergeable, default accuracy 1/10000) — the usual
+    sketch-for-exactness trade, chosen explicitly by the caller.
+    """
+    fn = "percentile" if exact else "approx_percentile"
+    thr = df.select(F.expr(f"{fn}({value_col}, {frac}d)").alias("_thr"))
+    return (
+        df.join(F.broadcast(thr))
+        .where(F.col(value_col) >= F.col("_thr"))
+        .drop("_thr")
+    )

@@ -36,3 +36,20 @@ def test_hash_rate_sample_stable_and_composable(spark):
     # rate 100 keeps everything, 0 keeps nothing
     assert hash_rate_sample(d, 100).count() == 400
     assert hash_rate_sample(d, 0).count() == 0
+
+
+def test_percentile_floor_exact_and_sketch_paths(spark):
+    from py_mongo_sync_spark.operators.sampling import percentile_floor
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "doc_id long, v double"
+    )
+    kept = percentile_floor(df, "v", frac=0.1, exact=True)
+    vals = sorted(r["v"] for r in kept.collect())
+    # threshold = quantile_cont(0.1) over 0..99 = 9.9 -> keep 10..99
+    assert vals[0] == 10.0 and len(vals) == 90
+    # sketch path: approx_percentile returns a MEMBER value (no
+    # interpolation) — threshold 9.0, one extra boundary row kept
+    kept_a = percentile_floor(df, "v", frac=0.1, exact=False)
+    vals_a = sorted(r["v"] for r in kept_a.collect())
+    assert vals_a[0] == 9.0 and len(vals_a) == 91

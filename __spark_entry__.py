@@ -702,6 +702,18 @@ def q_decontamination(spark, sf):
     return contamination_decision(corpus, bench)
 
 
+def q_boilerplate_profile(spark, sf):
+    """Cross-doc boilerplate detection (functions/text.py::
+    boilerplate_profile): sliding 10-word grams shared by >=2 distinct
+    docs are boilerplate (the C4 repeated-line rule generalized); one
+    row per doc with the boilerplate fraction. Grams shuffle as
+    md5-derived longs, not strings."""
+    from py_mongo_sync_spark.functions.text import boilerplate_profile
+
+    d = _t(spark, sf, "documents")
+    return boilerplate_profile(d, n=10, min_docs=2)
+
+
 def q_quality_floor(spark, sf):
     """Corpus-relative quality gate (operators/sampling.py::
     percentile_floor): keep documents whose token density clears the
@@ -932,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_ingest": q_neardup_ingest,
         "ngram_decontamination": q_ngram_decontamination,
         "quality_floor": q_quality_floor,
+        "boilerplate_profile": q_boilerplate_profile,
         "sequence_packing": q_sequence_packing,
         "stratified_sample": q_stratified_sample,
         "pii_redaction": q_pii_redaction,
@@ -1070,6 +1083,34 @@ def oracle_sql() -> dict[str, str]:
                 )
                 GROUP BY lang, token
             ) WHERE rk <= 5
+        """,
+        "boilerplate_profile": """
+            WITH dg AS (
+                SELECT DISTINCT doc_id,
+                       ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               range(1, greatest(len(ws) - 10 + 1, 0) + 1),
+                               i -> array_to_string(list_slice(ws, i, i + 9), ' ')
+                           )) AS g
+                    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                          FROM documents))
+            ),
+            counts AS (SELECT h, count(*) AS ndocs FROM dg GROUP BY h),
+            per_doc AS (
+                SELECT dg.doc_id AS pid, count(*) AS n_grams,
+                       sum(CASE WHEN c.ndocs >= 2 THEN 1 ELSE 0 END)
+                           AS n_boilerplate
+                FROM dg JOIN counts c USING (h) GROUP BY dg.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(p.n_grams, 0) AS n_grams,
+                   coalesce(p.n_boilerplate, 0) AS n_boilerplate,
+                   round(coalesce(p.n_boilerplate, 0)
+                         / CAST(greatest(coalesce(p.n_grams, 0), 1) AS DOUBLE),
+                         4) AS boilerplate_frac
+            FROM documents d LEFT JOIN per_doc p ON p.pid = d.doc_id
         """,
         "quality_floor": """
             WITH dens AS (

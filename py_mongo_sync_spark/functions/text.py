@@ -134,3 +134,67 @@ def repetition_ratio(text: Column, n: int = 3) -> Column:
         F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams).cast("double"),
         4,
     )
+
+
+def boilerplate_profile(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+    min_docs: int = 3,
+):
+    """Cross-document boilerplate profile — the corpus-level sibling of
+    ``repetition_ratio`` (which is within-doc): a sliding word n-gram is
+    BOILERPLATE when it occurs in >= ``min_docs`` DISTINCT documents
+    (headers, footers, licence blocks, templated replies — the C4-style
+    "repeated line" rule generalized to unstructured text). Returns one
+    row per doc: (doc_id, n_grams, n_boilerplate, boilerplate_frac);
+    callers gate on the fraction.
+
+    Spark-first cost: explode to (doc, gram-hash) ONCE — grams travel as
+    md5-derived 60-bit longs, not strings, so the two aggregations
+    shuffle fixed-width keys; doc counts per gram come from a distinct +
+    groupBy (exact, no count-distinct state); everything else is one join
+    back on the hash. Linear in corpus tokens, no pair space. At 10^10
+    docs the gram-doc-count table is itself large but partial-aggregates
+    map-side; a count-min sketch would trade exactness for one pass —
+    not taken here, exactness keeps the oracle."""
+    from py_mongo_sync_spark.operators.sampling import md5_long
+
+    ws = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dg = (
+        df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("_g"))
+        .select("_id", md5_long(F.col("_g"), 15).alias("_h"))
+        .distinct()
+    )
+    counts = dg.groupBy("_h").agg(F.count(F.lit(1)).alias("_ndocs"))
+    per_doc = (
+        dg.join(counts, "_h")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("_ndocs") >= min_docs).cast("long"))
+            .alias("n_boilerplate"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, F.col("doc_id") == per_doc["_id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_boilerplate", F.lit(0)).alias("n_boilerplate"),
+            F.round(
+                F.coalesce("n_boilerplate", F.lit(0))
+                / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1)),
+                4,
+            ).alias("boilerplate_frac"),
+        )
+    )

@@ -702,6 +702,26 @@ def q_decontamination(spark, sf):
     return contamination_decision(corpus, bench)
 
 
+def q_containment_neardup(spark, sf):
+    """Containment-verified near-dup pairs (operators/neardup.py::
+    verify_pairs_containment): same capped banded candidates as the
+    Jaccard path, but the cut normalizes by the SMALLER shingle set —
+    the quoted-reply detector. On this fixture's same-size near-dups the
+    two cuts coincide (the discriminating small-in-big case is pinned in
+    tests/test_neardup.py); the query proves the wiring end-to-end."""
+    from py_mongo_sync_spark.operators.neardup import (
+        banded_signature_rows,
+        capped_candidate_pairs,
+        verify_pairs_containment,
+    )
+
+    d = _t(spark, sf, "documents")
+    banded = banded_signature_rows(d, "doc_id", "text")
+    pairs, _ = capped_candidate_pairs(banded, max_bucket=64)
+    return verify_pairs_containment(d, pairs, "doc_id", "text",
+                                    k=5, threshold_pct=90)
+
+
 def q_boilerplate_profile(spark, sf):
     """Cross-doc boilerplate detection (functions/text.py::
     boilerplate_profile): sliding 10-word grams shared by >=2 distinct
@@ -945,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_decontamination": q_ngram_decontamination,
         "quality_floor": q_quality_floor,
         "boilerplate_profile": q_boilerplate_profile,
+        "containment_neardup": q_containment_neardup,
         "sequence_packing": q_sequence_packing,
         "stratified_sample": q_stratified_sample,
         "pii_redaction": q_pii_redaction,
@@ -1640,6 +1661,20 @@ def _hash_parity_oracles() -> dict[str, str]:
         FROM corpus c LEFT JOIN hits h ON h.cid = c.doc_id
     """
 
+    # --- containment-verified pairs: the neardup candidate CTEs (same
+    # banding + cap), cut by |A∩B| >= 90% of the SMALLER set instead of
+    # the union — min(|A|,|B|) normalization, quoted-reply semantics
+    containment_sql = neardup_clusters_sql.split("edges AS")[0] + """
+        cont AS (
+            SELECT doc_a, doc_b FROM cand
+            JOIN sets sa ON sa.doc_id = cand.doc_a
+            JOIN sets sb ON sb.doc_id = cand.doc_b
+            WHERE len(list_intersect(sa.s, sb.s)) * 100
+                  >= 90 * least(len(sa.s), len(sb.s))
+        )
+        SELECT doc_a, doc_b FROM cont
+    """
+
     # --- dedup-on-ingest: seen corpus (doc_id % 3 <> 0) vs new batch
     # (doc_id % 3 = 0); banded candidates new x seen (index mega-buckets
     # degrade to the min-id representative) plus capped within-batch pairs,
@@ -1862,6 +1897,7 @@ def _hash_parity_oracles() -> dict[str, str]:
         "neardup_clusters": neardup_clusters_sql,
         "decontamination": decon,
         "neardup_ingest": ingest,
+        "containment_neardup": containment_sql,
         "sequence_packing": packing,
         "training_mix": training_mix,
         "doc_chunking": """

@@ -331,6 +331,8 @@ def run_headline_queries(spark, attempts: int = 3) -> tuple[dict, dict]:
 EXTRA_QUERY_NAMES = [
     "decontamination", "sequence_packing", "stratified_sample",
     "pii_redaction", "dedup_exact_stream", "neardup_ingest", "vocab_topk",
+    "ngram_decontamination", "quality_floor", "boilerplate_profile",
+    "containment_neardup",
 ]
 
 

@@ -127,6 +127,44 @@ def verify_pairs_jaccard(
     )
 
 
+def verify_pairs_containment(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str,
+    k: int = 5, threshold_pct: int = 90,
+) -> DataFrame:
+    """Exact CONTAINMENT on candidates: keep iff |A∩B| * 100 ≥
+    threshold_pct * min(|A|,|B|) — the quoted-reply detector. A short
+    transcript fully quoted inside a long one has containment ≈ 1 but
+    Jaccard ≈ |small|/|big| (arbitrarily low), so a Jaccard cut misses it
+    entirely; containment normalizes by the SMALLER set.
+
+    Recall caveat, stated honestly: MinHash band candidates estimate
+    JACCARD — a small-in-big pair with low Jaccard also has a low
+    probability of sharing a band, so this verify is exact on whatever
+    candidates reach it but the banded generator under-recalls extreme
+    size ratios. At web scale the containment-complete generator is a
+    rare-shingle inverted index or a containment sketch; within moderate
+    size ratios (quoted replies, partial copies — the transcript case)
+    the existing bands carry the pair and this cut classifies it
+    correctly where Jaccard would not.
+    """
+    sets_df = df.select(
+        F.col(id_col).alias("_sid"),
+        F.array_distinct(char_shingles(text_col, k)).alias("_set"),
+    )
+    j = (
+        pairs.join(sets_df.withColumnRenamed("_sid", "doc_a")
+                   .withColumnRenamed("_set", "_sa"), "doc_a")
+        .join(sets_df.withColumnRenamed("_sid", "doc_b")
+              .withColumnRenamed("_set", "_sb"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    smaller = F.least(F.size("_sa"), F.size("_sb"))
+    return (
+        j.where(inter * 100 >= F.lit(threshold_pct) * smaller)
+        .select("doc_a", "doc_b")
+    )
+
+
 def connected_components_min_label(
     edges: DataFrame, max_rounds: int = 15, double_from: int = 2,
     driver_threshold: int = 100_000,

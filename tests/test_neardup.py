@@ -201,3 +201,26 @@ def test_long_chain_many_rounds_does_not_blow_up_plan(spark):
         F.max("cluster_id").alias("mx"),
     ).first()
     assert agg["n"] == n and agg["k"] == 1 and agg["mx"] == 0
+
+
+def test_containment_catches_quoted_small_doc_jaccard_misses(spark):
+    from py_mongo_sync_spark.operators.neardup import (
+        verify_pairs_containment,
+        verify_pairs_jaccard,
+    )
+
+    small = "please restart the ingestion job and confirm the watermark advanced"
+    filler = " now for something completely different padding words " * 20
+    docs = spark.createDataFrame(
+        [(1, small), (2, f"earlier context {filler} quoted reply: {small}")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    # doc 1's shingles are (almost) all inside doc 2 -> containment ~1,
+    # but Jaccard ~ |small|/|big| is far below any dedup threshold
+    cont = verify_pairs_containment(docs, pairs, "doc_id", "text",
+                                    threshold_pct=90).collect()
+    jac = verify_pairs_jaccard(docs, pairs, "doc_id", "text",
+                               threshold_pct=80).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in cont] == [(1, 2)]
+    assert jac == []

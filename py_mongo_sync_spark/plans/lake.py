@@ -99,6 +99,18 @@ def bucket_expr(key_cols: list[str], n_buckets: int):
     return F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
 
 
+def manifest_bucket_cols(m: dict) -> list[str]:
+    """Columns the table is physically bucketed on. Defaults to the key —
+    the CDC layout, where bucketing == MERGE-join partitioning. A table
+    may instead bucket on a PROBE column (``bucket_cols`` at create time,
+    e.g. the ingest signature index bucketed on ``bkey``) so point-lookup
+    style reads prune to touched buckets; the MERGE stays correct because
+    a source row's bucket is a deterministic function of its own columns
+    — co-location with the join key is a performance property, never a
+    correctness one (bucket_expr docstring)."""
+    return m.get("bucket_cols") or m["key_cols"]
+
+
 class LakeTable:
     """Handle on a lake table directory. Cheap to construct; all state is
     on disk in the manifest chain."""
@@ -331,6 +343,7 @@ class LakeTable:
         n_buckets: int = 16,
         files_per_bucket: int = 1,
         write_mode: str = "cow",
+        bucket_cols: list[str] | None = None,
     ) -> "LakeTable":
         """Initial snapshot load (reference K1: idempotent full load,
         /root/reference/mongosync/mongo/syncer.py:104-123 — re-runs converge
@@ -346,10 +359,14 @@ class LakeTable:
         batch)."""
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
+        bcols = bucket_cols or key_cols
+        missing = [c for c in bcols if c not in df.columns]
+        if missing:
+            raise ValueError(f"bucket_cols not in frame: {missing}")
         version = (self.latest_version() + 1) if self.exists() else 1
         data_cols = df.columns
         dfb = df.withColumn(DELETED_COL, F.lit(False)).withColumn(
-            BUCKET_COL, bucket_expr(key_cols, n_buckets)
+            BUCKET_COL, bucket_expr(bcols, n_buckets)
         )
         buckets = self._write_buckets(dfb, version, n_buckets, files_per_bucket)
         manifest = {
@@ -357,6 +374,7 @@ class LakeTable:
             "schema": df.schema.jsonValue(),
             "columns": data_cols,
             "key_cols": key_cols,
+            "bucket_cols": bcols,
             "ts_col": ts_col,
             "n_buckets": n_buckets,
             "files_per_bucket": files_per_bucket,
@@ -587,7 +605,7 @@ class LakeTable:
             F.col(_OP),
             F.col(_PATCH),
             *opt_meta,
-        ).withColumn(BUCKET_COL, bucket_expr(key_cols, n_buckets))
+        ).withColumn(BUCKET_COL, bucket_expr(manifest_bucket_cols(m), n_buckets))
 
         if hint_buckets is not None:
             changed = sorted(hint_buckets)
@@ -655,7 +673,7 @@ class LakeTable:
             return self._commit_empty(m, batch_id)
 
         tgt = self.read(buckets=changed, include_tombstones=True).withColumn(
-            BUCKET_COL, bucket_expr(key_cols, n_buckets)
+            BUCKET_COL, bucket_expr(manifest_bucket_cols(m), n_buckets)
         )
         # target predates freshly-evolved columns → NULL-backfill them
         for c in table_cols:
@@ -879,7 +897,7 @@ class LakeTable:
             return {"compacted_buckets": 0, "version": m["version"]}
         resolved = self.read(
             buckets=[int(b) for b in target], include_tombstones=True
-        ).withColumn(BUCKET_COL, bucket_expr(m["key_cols"], m["n_buckets"]))
+        ).withColumn(BUCKET_COL, bucket_expr(manifest_bucket_cols(m), m["n_buckets"]))
         version = m["version"] + 1
         new_files = self._write_buckets(
             resolved, version, m["n_buckets"], m.get("files_per_bucket", 1)
@@ -917,8 +935,9 @@ class LakeTable:
         the explicit read schema projects the column away, Iceberg-style).
         Key/ts columns are refused. No-op if absent."""
         m = self.manifest()
-        if name in m["key_cols"] or name == m["ts_col"]:
-            raise ValueError(f"cannot drop key/ts column {name!r}")
+        if (name in m["key_cols"] or name == m["ts_col"]
+                or name in manifest_bucket_cols(m)):
+            raise ValueError(f"cannot drop key/ts/bucket column {name!r}")
         schema = T.StructType.fromJson(m["schema"])
         if name not in [f.name for f in schema.fields]:
             return False
@@ -1097,7 +1116,7 @@ class LakeTable:
         m = self.manifest()
         version = m["version"] + 1
         df = self.read(include_tombstones=True).withColumn(
-            BUCKET_COL, bucket_expr(m["key_cols"], m["n_buckets"])
+            BUCKET_COL, bucket_expr(manifest_bucket_cols(m), m["n_buckets"])
         )
         kept = df.where(
             ~F.coalesce(F.col(DELETED_COL), F.lit(False))
@@ -1189,7 +1208,7 @@ class LakeTable:
         m = self.manifest()
         version = m["version"] + 1
         df = self.read(include_tombstones=True).withColumn(
-            BUCKET_COL, bucket_expr(m["key_cols"], new_n_buckets)
+            BUCKET_COL, bucket_expr(manifest_bucket_cols(m), new_n_buckets)
         )
         buckets = self._write_buckets(
             df, version, new_n_buckets, m.get("files_per_bucket", 1)

@@ -24,12 +24,13 @@ candidates), the docs MERGE resolves to an idempotent skip, and the
 bands MERGE applies. Both orders converge; this one never drops a
 decision.
 
-Scale note: both tables are hash-bucketed on their keys (doc id; doc id
-+ band). At 100 TB the index would instead be bucketed on
-``xxhash64(bkey)`` so the candidate probe prunes to touched buckets (the
-operator docstring's contract); LakeTable buckets by its unique key, so
-this wrapper trades that pruning for the versioned/idempotent storage
-contract — the candidate join itself is still the capped equi-join.
+Scale note: the signature index is bucketed on ``bkey`` (LakeTable
+``bucket_cols``, decoupled from its unique (_id, band) key), so each
+batch reads ONLY the index buckets its own band keys hash to — per-batch
+probe I/O is O(touched buckets), the same contract as the CDC MERGE, and
+at 10^10 docs the untouched bulk of the index is never scanned. The kept
+corpus stays bucketed by doc id; its read feeds the candidate-bounded
+verify semi-join.
 """
 
 from __future__ import annotations
@@ -94,9 +95,14 @@ class NeardupIngestPipeline:
             docs, self.id_col, self.text_col,
             self.params["n_hashes"], self.params["bands"], self.params["k"],
         )
+        # bucketed on bkey (NOT the unique key): the candidate probe joins
+        # on (band, bkey), so a batch only needs the index buckets its own
+        # bkeys hash to — the probe-prune contract the operator docstring
+        # promises, now physical
         self.bands_table.create_or_replace(
             b.withColumn("ts", F.lit(0).cast("long")),
             key_cols=["_id", "band"], ts_col="ts", n_buckets=self.n_buckets,
+            bucket_cols=["bkey"],
         )
         return self
 
@@ -113,7 +119,9 @@ class NeardupIngestPipeline:
             return out
         batch = new_docs.select(self.id_col, self.text_col)
         seen_docs = self.docs_table.read().select(self.id_col, self.text_col)
-        seen_bands = self.bands_table.read().select("_id", "band", "bkey")
+        seen_bands = self.bands_table.read(
+            buckets=self._touched_index_buckets(batch)
+        ).select("_id", "band", "bkey")
         decisions, delta = ingest_batch(
             batch, seen_docs, seen_bands=seen_bands,
             id_col=self.id_col, text_col=self.text_col, **self.params,
@@ -136,6 +144,26 @@ class NeardupIngestPipeline:
                "n_dup": n_dup, "n_novel": n_new - n_dup}
         self.stats.append(out)
         return out
+
+    def _touched_index_buckets(self, batch: DataFrame) -> list[int]:
+        """Index buckets this batch's band keys hash to — the candidate
+        probe then scans ONLY those (the index is bucketed on bkey). One
+        batch-sized signing job collecting distinct bucket IDS (≤
+        n_buckets ints, never row data — same bound class as the CDC
+        merge probe)."""
+        from py_mongo_sync_spark.plans.lake import bucket_expr, manifest_bucket_cols
+
+        m = self.bands_table.manifest()
+        nb = banded_signature_rows(
+            batch, self.id_col, self.text_col,
+            self.params["n_hashes"], self.params["bands"], self.params["k"],
+        )
+        rows = (
+            nb.select(bucket_expr(manifest_bucket_cols(m),
+                                  m["n_buckets"]).alias("_b"))
+            .distinct().collect()
+        )
+        return sorted(r["_b"] for r in rows)
 
     # --------------------------------------------------------------- stream
 

@@ -142,3 +142,29 @@ def test_crash_between_docs_and_bands_merge_converges(spark, tmp_path):
     assert sorted(r["doc_id"] for r in p.docs_table.read().collect()) == [1, 10]
     assert p.bands_table.read().count() == 2 * 8
     assert p.bands_table.is_committed(0)
+
+
+def test_index_probe_prunes_to_touched_buckets(spark, tmp_path):
+    """The bands index is bucketed on bkey: a 1-doc batch (8 band keys)
+    must touch at most 8 of 64 index buckets, and the pruned probe must
+    reach the same decision as a full index scan."""
+    from py_mongo_sync_spark.operators.ingest_dedup import ingest_decisions
+
+    p = NeardupIngestPipeline(
+        spark, f"{tmp_path}/pr_docs", f"{tmp_path}/pr_bands", n_buckets=64
+    )
+    seen = _docs(spark, [(i, f"{NOVEL2} variant {i} " * 4) for i in range(6)]
+                 + [(9, BASE * 4)])
+    p.initial_load(seen)
+    batch = _docs(spark, [(100, BASE * 4 + "tail")])
+
+    touched = p._touched_index_buckets(batch)
+    assert 0 < len(touched) <= 8
+    s = p.apply_batch(batch, batch_id=0)
+    assert (s["n_dup"], s["n_novel"]) == (1, 0)
+
+    # pruned decision == full-scan decision
+    full = ingest_decisions(
+        batch, seen, seen_bands=p.bands_table.read().select("_id", "band", "bkey")
+    ).collect()
+    assert [(r["doc_id"], r["is_dup"], r["dup_of"]) for r in full] == [(100, True, 9)]

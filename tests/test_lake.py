@@ -522,3 +522,56 @@ def test_bucket_stats_health_telemetry(spark, tmp_path):
     assert st["pending_delta_files"] == 0
     assert st["rebucket_advised"] is False and st["advised_n_buckets"] is None
     assert st["skew_max_over_median"] >= 1.0
+
+
+def test_bucket_cols_decoupled_from_key(spark, tmp_path):
+    """A table bucketed on a PROBE column (not its unique key): reads
+    pruned by the probe column's bucket return exactly the matching rows,
+    MERGE routes source rows to the right buckets, and rebucket/compact
+    keep the layout (the ingest signature-index pattern)."""
+    from py_mongo_sync_spark.plans.lake import bucket_expr, manifest_bucket_cols
+
+    df = spark.createDataFrame(
+        [("a", 0, "k1", TS[0]), ("b", 1, "k1", TS[0]),
+         ("c", 2, "k2", TS[0]), ("d", 3, "k3", TS[0])],
+        "conv_id string, turn_idx int, probe string, ts timestamp",
+    )
+    t = LakeTable(spark, str(tmp_path / "bc"))
+    t.create_or_replace(df, key_cols=KEYS, ts_col="ts", n_buckets=4,
+                        bucket_cols=["probe"])
+    assert manifest_bucket_cols(t.manifest()) == ["probe"]
+
+    # pruned read: the bucket k1 hashes to holds ALL k1 rows, none missed
+    bid = df.where("probe = 'k1'").select(
+        bucket_expr(["probe"], 4).alias("b")).first()["b"]
+    got = {r["conv_id"] for r in t.read(buckets=[bid]).collect()
+           if r["probe"] == "k1"}
+    assert got == {"a", "b"}
+    full = {r["conv_id"] for r in t.read().collect() if r["probe"] == "k1"}
+    assert full == got
+
+    # MERGE with a new k1 row + an update: lands in k1's bucket, pruned
+    # read sees it
+    src = spark.createDataFrame(
+        [("e", 4, "k1", TS[1], "u", False), ("a", 0, "k1", TS[2], "u", False)],
+        "conv_id string, turn_idx int, probe string, ts timestamp, "
+        "_op string, _is_patch boolean",
+    )
+    t.merge(src, batch_id=1)
+    got2 = {r["conv_id"] for r in t.read(buckets=[bid]).collect()
+            if r["probe"] == "k1"}
+    assert got2 == {"a", "b", "e"}
+    assert t.read().count() == 5
+
+    # dropping the bucket column is refused like key/ts
+    import pytest as _pt
+    with _pt.raises(ValueError, match="bucket"):
+        t.drop_column("probe")
+
+    # rebucket preserves the probe-column layout
+    t.rebucket(8)
+    bid8 = df.where("probe = 'k1'").select(
+        bucket_expr(["probe"], 8).alias("b")).first()["b"]
+    got3 = {r["conv_id"] for r in t.read(buckets=[bid8]).collect()
+            if r["probe"] == "k1"}
+    assert got3 == {"a", "b", "e"}

@@ -490,6 +490,41 @@ def q_cdc_replay_synthetic(spark, sf):
     )
 
 
+def q_conversation_rollup(spark, sf):
+    """The cdc_ingest → corpus bridge: replay the synthetic oplog through
+    the REAL engine (same as cdc_replay_synthetic), then assemble each
+    conversation's surviving turns into one ordered document — the unit
+    the downstream dedup/quality/packing operators consume. One groupBy
+    per conversation; the turn sort happens inside the collected array
+    (array_sort on (turn_idx, text) structs), never as a global sort."""
+    from py_mongo_sync_spark.config import SyncConfig
+    from py_mongo_sync_spark.schema import TRANSCRIPT_SCHEMA_V0
+    from py_mongo_sync_spark.streaming.pipeline import CdcPipeline
+
+    env = _synthetic_env(spark, sf)
+    tmp = tempfile.mkdtemp(prefix="conv_rollup_q_")
+    cfg = SyncConfig(dst_path=os.path.join(tmp, "lake"),
+                     checkpoint_path=os.path.join(tmp, "cp"), n_buckets=8)
+    pipe = CdcPipeline(spark, cfg)
+    pipe.initial_sync(spark.createDataFrame([], TRANSCRIPT_SCHEMA_V0))
+    pipe.replay_batch(env, batch_id=0)
+    t = pipe.table.read()
+    return (
+        t.groupBy("conv_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("turn_idx", "text"))).alias("_s"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+        .select(
+            "conv_id",
+            "n_turns",
+            F.array_join(
+                F.transform("_s", lambda s: s["text"]), " "
+            ).alias("doc_text"),
+        )
+    )
+
+
 def _synthetic_env(spark, sf):
     """Deterministic oplog envelope derived from the events table (shared
     by the replay and changelog queries)."""
@@ -957,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_counts": q_pivot_event_counts,
         # engine-native / non-SQL (rows-only checks)
         "cdc_replay_synthetic": q_cdc_replay_synthetic,
+        "conversation_rollup": q_conversation_rollup,
         "cdc_changelog": q_cdc_changelog,
         "minhash_neardup": q_minhash_neardup,
         "neardup_clusters": q_neardup_clusters,
@@ -1384,6 +1420,38 @@ def oracle_sql() -> dict[str, str]:
                    greatest(b.ot, coalesce(p.pot, b.ot)) AS optime
             FROM b LEFT JOIN p ON b.conv_id = p.conv_id AND b.turn_idx = p.turn_idx
             WHERE b.op <> 'd'
+        """,
+        "conversation_rollup": """
+            WITH ev AS (
+                SELECT event_id AS ot,
+                       'c' || CAST(user_id % 40 AS VARCHAR) AS conv_id,
+                       CAST(event_id % 6 AS INT) AS turn_idx,
+                       CASE event_type WHEN 'signup' THEN 'i' WHEN 'error' THEN 'd'
+                            WHEN 'purchase' THEN 'p' ELSE 'u' END AS op,
+                       'e' || CAST(event_id AS VARCHAR) AS text,
+                       'p' || CAST(event_id AS VARCHAR) AS ptext
+                FROM events WHERE event_type <> 'view'
+            ), b AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                                 ORDER BY ot DESC) AS rn
+                    FROM ev WHERE op IN ('i', 'u', 'd')
+                ) WHERE rn = 1
+            ), p AS (
+                SELECT e.conv_id, e.turn_idx, max_by(e.ptext, e.ot) AS ptext
+                FROM ev e JOIN b ON e.conv_id = b.conv_id AND e.turn_idx = b.turn_idx
+                WHERE e.op = 'p' AND e.ot > b.ot
+                GROUP BY e.conv_id, e.turn_idx
+            ), turns AS (
+                SELECT b.conv_id, b.turn_idx,
+                       coalesce(p.ptext, b.text) AS text
+                FROM b LEFT JOIN p ON b.conv_id = p.conv_id
+                                  AND b.turn_idx = p.turn_idx
+                WHERE b.op <> 'd'
+            )
+            SELECT conv_id, count(*) AS n_turns,
+                   string_agg(text, ' ' ORDER BY turn_idx, text) AS doc_text
+            FROM turns GROUP BY conv_id
         """,
         "lang_id_heuristic": """
             WITH hits AS (

@@ -332,7 +332,7 @@ EXTRA_QUERY_NAMES = [
     "decontamination", "sequence_packing", "stratified_sample",
     "pii_redaction", "dedup_exact_stream", "neardup_ingest", "vocab_topk",
     "ngram_decontamination", "quality_floor", "boilerplate_profile",
-    "containment_neardup", "conversation_rollup",
+    "containment_neardup", "conversation_rollup", "rare_shingle_containment",
 ]
 
 

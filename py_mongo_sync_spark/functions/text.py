@@ -191,6 +191,14 @@ def boilerplate_profile(
             "doc_id",
             F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
             F.coalesce("n_boilerplate", F.lit(0)).alias("n_boilerplate"),
+            # frac in BASIS POINTS via pure bigint division — exact on any
+            # engine. The double sibling below is the ergonomic gate value;
+            # hash-compared outputs should use frac_bp (cross-engine float
+            # round ties / int-vs-float dtype drift can't touch a bigint).
+            F.expr(
+                "CAST(coalesce(n_boilerplate, 0) * 10000 AS BIGINT) DIV "
+                "CAST(greatest(coalesce(n_grams, 0), 1) AS BIGINT)"
+            ).alias("frac_bp"),
             F.round(
                 F.coalesce("n_boilerplate", F.lit(0))
                 / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1)),

@@ -75,6 +75,7 @@ def ingest_decisions(
     k: int = 5,
     threshold_pct: int = 80,
     max_bucket: int = 64,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """One row per new doc: (doc_id, is_dup, dup_of, n_matches).
 
@@ -83,13 +84,23 @@ def ingest_decisions(
     is recomputed from ``seen_docs``; production passes the stored index
     so the seen corpus is never re-signed. ``seen_docs`` is only consulted
     for the exact-Jaccard verify of the (bounded) candidate set.
+
+    ``new_bands`` is the batch's OWN signature rows, when the caller has
+    already computed (and ideally persisted) them — the streaming pipeline
+    signs each batch exactly once and threads the frame through the bucket
+    probe, the decisions, and the index delta, because those are SEPARATE
+    Spark actions and ReuseExchange only dedups subtrees within one query.
     """
     # The band frames are referenced multiple times below (self-join,
     # size probe, candidate join); because everything lands in ONE query,
     # Spark's ReuseExchange computes each identical signing subtree once —
     # checkpoint/persist here measures SLOWER (forced sequential jobs +
     # RDD round-trip beat nothing: the reuse was already free).
-    nb = banded_signature_rows(new_docs, id_col, text_col, n_hashes, bands, k)
+    nb = (
+        new_bands
+        if new_bands is not None
+        else banded_signature_rows(new_docs, id_col, text_col, n_hashes, bands, k)
+    )
     sb = (
         seen_bands
         if seen_bands is not None
@@ -164,6 +175,7 @@ def ingest_batch(
     k: int = 5,
     threshold_pct: int = 80,
     max_bucket: int = 64,
+    new_bands: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(decisions, index_delta): the per-batch ingest step.
 
@@ -171,11 +183,19 @@ def ingest_batch(
     signature index (and the novel docs to the kept corpus) before the
     next batch; rejected duplicates never enter the index, so the index
     grows with the DEDUPED corpus, not the raw feed.
+
+    ``new_bands``: pre-signed (ideally persisted) batch band rows — see
+    :func:`ingest_decisions`. With it, the whole batch step constructs the
+    signing subtree zero times; without it, twice (decisions + delta).
     """
     decisions = ingest_decisions(
         new_docs, seen_docs, seen_bands, id_col, text_col,
-        n_hashes, bands, k, threshold_pct, max_bucket,
+        n_hashes, bands, k, threshold_pct, max_bucket, new_bands=new_bands,
     )
-    nb = banded_signature_rows(new_docs, id_col, text_col, n_hashes, bands, k)
+    nb = (
+        new_bands
+        if new_bands is not None
+        else banded_signature_rows(new_docs, id_col, text_col, n_hashes, bands, k)
+    )
     novel = decisions.where(~F.col("is_dup")).select(F.col("doc_id").alias("_id"))
     return decisions, nb.join(novel, "_id", "left_semi")

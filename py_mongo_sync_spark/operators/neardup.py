@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import warnings
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from py_mongo_sync_spark.functions.similarity import (
     char_shingles,
@@ -38,12 +38,20 @@ from py_mongo_sync_spark.functions.similarity import (
 )
 
 
+#: plan-construction counter — tests pin "the ingest path signs each
+#: batch ONCE" by diffing this around apply_batch (each construction here
+#: is a fresh shingle+md5 subtree that Spark cannot reuse across actions)
+SIGNING_CALLS = 0
+
+
 def banded_signature_rows(
     df: DataFrame, id_col: str, text_col: str,
     n_hashes: int = 16, bands: int = 8, k: int = 5,
 ) -> DataFrame:
     """(_id, band, bkey) rows — one per doc per band — from the md5
     oracle-parity signature (functions/similarity.py)."""
+    global SIGNING_CALLS
+    SIGNING_CALLS += 1
     rows_per_band = n_hashes // bands
     sig = minhash_signatures_md5(df, id_col, text_col, n_hashes, k)
     return sig.select(
@@ -102,6 +110,29 @@ def capped_candidate_pairs(
     return pairs, stats
 
 
+def _candidate_shingle_sets(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Shingle ONLY docs that appear in some candidate pair: a semi-join
+    to the pair endpoints runs BEFORE the (expensive) shingle explode, so
+    verify cost is O(candidates), not O(corpus) — after banding, verified
+    candidates are normally a sliver of the corpus, and at 100 TB
+    re-shingling every stored document per query is the difference
+    between a point lookup and a table scan. (Same shape as the ingest
+    path, operators/ingest_dedup.py — measured ~15% there; the pairs
+    lineage is referenced three times in one query, which ReuseExchange
+    computes once.)"""
+    ids = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    return df.join(ids, id_col, "left_semi").select(
+        F.col(id_col).alias("_sid"),
+        F.array_distinct(char_shingles(text_col, k)).alias("_set"),
+    )
+
+
 def verify_pairs_jaccard(
     df: DataFrame, pairs: DataFrame, id_col: str, text_col: str,
     k: int = 5, threshold_pct: int = 80,
@@ -109,10 +140,7 @@ def verify_pairs_jaccard(
     """Exact shingle-set Jaccard on candidates ONLY (never all-pairs).
     Keep iff |A∩B| * 100 ≥ threshold_pct * |A∪B| — integer cross-multiply,
     so Spark and any SQL oracle cut at exactly the same pairs."""
-    sets_df = df.select(
-        F.col(id_col).alias("_sid"),
-        F.array_distinct(char_shingles(text_col, k)).alias("_set"),
-    )
+    sets_df = _candidate_shingle_sets(df, pairs, id_col, text_col, k)
     j = (
         pairs.join(sets_df.withColumnRenamed("_sid", "doc_a")
                    .withColumnRenamed("_set", "_sa"), "doc_a")
@@ -145,12 +173,11 @@ def verify_pairs_containment(
     rare-shingle inverted index or a containment sketch; within moderate
     size ratios (quoted replies, partial copies — the transcript case)
     the existing bands carry the pair and this cut classifies it
-    correctly where Jaccard would not.
+    correctly where Jaccard would not. The containment-complete candidate
+    generator is :func:`rare_shingle_candidate_pairs` below — union its
+    output with the banded pairs before this verify.
     """
-    sets_df = df.select(
-        F.col(id_col).alias("_sid"),
-        F.array_distinct(char_shingles(text_col, k)).alias("_set"),
-    )
+    sets_df = _candidate_shingle_sets(df, pairs, id_col, text_col, k)
     j = (
         pairs.join(sets_df.withColumnRenamed("_sid", "doc_a")
                    .withColumnRenamed("_set", "_sa"), "doc_a")
@@ -163,6 +190,74 @@ def verify_pairs_containment(
         j.where(inter * 100 >= F.lit(threshold_pct) * smaller)
         .select("doc_a", "doc_b")
     )
+
+
+def rare_shingle_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    k: int = 5, n_rare: int = 4, max_df: int = 64,
+    with_stats: bool = False,
+):
+    """Containment-COMPLETE candidate pairs via a rare-shingle inverted
+    index — the recall complement to MinHash banding for extreme size
+    ratios. A 30-word doc quoted inside a 3,000-word doc has Jaccard
+    ≈ 1%, so it almost never shares a band; but every one of the small
+    doc's shingles — including its rarest — also occurs in the quoting
+    doc, so joining each doc's ``n_rare`` lowest-document-frequency
+    shingles against the full posting lists of those shingles ALWAYS
+    surfaces the pair (as long as at least one rare shingle stays under
+    the ``max_df`` frequency cap). Union the output with the banded
+    candidates and feed :func:`verify_pairs_containment`.
+
+    Cost at scale: one distinct (doc, shingle-hash) projection (linear in
+    corpus characters), one groupBy on the 32-bit hash for document
+    frequency, one per-doc top-``n_rare`` window (shuffle keyed on doc
+    id), and a candidate join whose posting lists are bounded by
+    ``max_df`` — so pairs ≤ n_rare × max_df per doc, never quadratic.
+    Shingles above ``max_df`` are dropped with COUNTED overflow (same
+    no-silent-truncation policy as :func:`capped_candidate_pairs`);
+    they are boilerplate by definition and useless as discriminators.
+
+    Hashes are md5-derived 32-bit longs (functions/similarity.py::
+    md5_long) so a SQL oracle reproduces candidates bit-for-bit.
+
+    Returns pairs (doc_a < doc_b) — or (pairs, overflow_stats) when
+    ``with_stats``: one row per dropped shingle hash (h, df).
+    """
+    from py_mongo_sync_spark.functions.similarity import md5_long
+
+    # distinct (doc, h): h = 32-bit md5 of the char k-gram
+    dsh = df.select(
+        F.col(id_col).alias("_did"),
+        F.explode(F.array_distinct(char_shingles(text_col, k))).alias("_s"),
+    ).select("_did", md5_long(F.col("_s"), 8).alias("h")).distinct()
+    dfreq = dsh.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+    kept = dsh.join(dfreq.where(F.col("_df") <= max_df), "h")
+    # per-doc n_rare rarest shingles; (df, h) is a total order on a doc's
+    # distinct hashes, so the pick is deterministic on any engine
+    rare = (
+        kept.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_did").orderBy("_df", "h")
+            ),
+        )
+        .where(F.col("_rn") <= n_rare)
+        .select(F.col("_did").alias("_rid"), "h")
+    )
+    postings = kept.select(F.col("_did").alias("_pid"), "h")
+    pairs = (
+        rare.join(postings, "h")
+        .where(F.col("_rid") != F.col("_pid"))
+        .select(
+            F.least("_rid", "_pid").alias("doc_a"),
+            F.greatest("_rid", "_pid").alias("doc_b"),
+        )
+        .distinct()
+    )
+    if with_stats:
+        stats = dfreq.where(F.col("_df") > max_df).select("h", F.col("_df").alias("df"))
+        return pairs, stats
+    return pairs
 
 
 def connected_components_min_label(

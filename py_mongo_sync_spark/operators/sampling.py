@@ -26,25 +26,72 @@ from pyspark.sql import DataFrame, functions as F
 from py_mongo_sync_spark.functions.similarity import md5_long
 
 
+#: md5_long(col, 15) yields 15 hex digits = 60 uniform bits: [0, 2^60)
+_RANK_SPAN = 2 ** 60
+
+
 def stratified_cap(
     df: DataFrame,
     group_cols: list[str],
     k: int,
     id_col: str = "doc_id",
+    overshoot: int = 0,
 ) -> DataFrame:
     """At most ``k`` rows per group, selected by md5(id) rank — a
     deterministic uniform draw within each stratum (id-order would bias
-    toward old documents). Output = input columns."""
+    toward old documents). Output = input columns.
+
+    ``overshoot > 0`` switches on the corpus-scale path: a group larger
+    than ``overshoot * k`` rows is pre-filtered to rank-hash values below
+    a per-group ceiling sized for ~``overshoot * k`` expected survivors,
+    BEFORE the exact window. Because the pre-filter is a PREFIX of the
+    very ranking the window sorts by (rk < T keeps everything that could
+    be in the top k, as long as ≥ k rows survive), the k winners are
+    unchanged — and the (measure-zero at any sane overshoot) group whose
+    survivor count under-fills min(k, n) falls back to its full rows, so
+    the fused path is IDENTICAL to the plain cap by construction, not
+    with high probability. The window then sorts O(overshoot·k) rows per
+    group instead of the whole group — at a 10^9-row language stratum
+    capped to 10^5, that is the difference between sorting the stratum
+    and sorting 0.04% of it; the two auxiliary aggregates are map-side
+    combinable group counts (one row per stratum, broadcast back)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*group_cols).orderBy(
-        md5_long(F.col(id_col).cast("string"), 15), id_col
-    )
-    return (
-        df.withColumn("_rk", F.row_number().over(w))
+    rank = md5_long(F.col(id_col).cast("string"), 15)
+    w = Window.partitionBy(*group_cols).orderBy(rank, id_col)
+    capped = lambda d: (  # noqa: E731
+        d.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= k)
         .drop("_rk")
     )
+    if overshoot <= 0:
+        return capped(df)
+
+    target = overshoot * k
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
+    ceil = F.when(F.col("_n") <= target, F.lit(_RANK_SPAN)).otherwise(
+        (F.lit(float(_RANK_SPAN)) / F.col("_n") * target).cast("long")
+    )
+    surv = (
+        df.join(F.broadcast(counts), group_cols)
+        .where(rank < ceil)
+        .select(*df.columns)
+    )
+    # groups whose survivor prefix covers min(k, n) are exact; the rest
+    # (short groups can't under-fill — ceil is the full span for them)
+    # fall back to their complete rows
+    sc = surv.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_m"))
+    full = counts.join(sc, group_cols, "left").where(
+        F.coalesce("_m", F.lit(0)) >= F.least(F.lit(k), F.col("_n"))
+    ).select(*group_cols)
+    bounded = (
+        surv.join(F.broadcast(full), group_cols, "left_semi")
+        .unionByName(
+            df.join(F.broadcast(full), group_cols, "left_anti")
+            .select(*df.columns)
+        )
+    )
+    return capped(bounded)
 
 
 def hash_rate_sample(

@@ -118,12 +118,22 @@ class NeardupIngestPipeline:
             self.stats.append(out)
             return out
         batch = new_docs.select(self.id_col, self.text_col)
+        # Sign the batch ONCE. The signed rows feed three separate Spark
+        # ACTIONS (bucket-probe collect, decisions count, the two MERGEs) —
+        # ReuseExchange dedups identical subtrees only WITHIN one query, so
+        # without the persist each action would re-shingle + re-md5 the
+        # batch from scratch (r4 shipped exactly that: three signing jobs
+        # per batch). Batch-sized, so the cache is bounded like `decisions`.
+        new_bands = banded_signature_rows(
+            batch, self.id_col, self.text_col,
+            self.params["n_hashes"], self.params["bands"], self.params["k"],
+        ).persist()
         seen_docs = self.docs_table.read().select(self.id_col, self.text_col)
         seen_bands = self.bands_table.read(
-            buckets=self._touched_index_buckets(batch)
+            buckets=self._touched_index_buckets(new_bands)
         ).select("_id", "band", "bkey")
         decisions, delta = ingest_batch(
-            batch, seen_docs, seen_bands=seen_bands,
+            batch, seen_docs, seen_bands=seen_bands, new_bands=new_bands,
             id_col=self.id_col, text_col=self.text_col, **self.params,
         )
         decisions = decisions.persist()
@@ -140,27 +150,24 @@ class NeardupIngestPipeline:
             self.bands_table.merge(self._with_meta(delta, batch_id + 1), batch_id)
         finally:
             decisions.unpersist()
+            new_bands.unpersist()
         out = {"batch_id": batch_id, "n_new": n_new,
                "n_dup": n_dup, "n_novel": n_new - n_dup}
         self.stats.append(out)
         return out
 
-    def _touched_index_buckets(self, batch: DataFrame) -> list[int]:
+    def _touched_index_buckets(self, new_bands: DataFrame) -> list[int]:
         """Index buckets this batch's band keys hash to — the candidate
-        probe then scans ONLY those (the index is bucketed on bkey). One
-        batch-sized signing job collecting distinct bucket IDS (≤
-        n_buckets ints, never row data — same bound class as the CDC
-        merge probe)."""
+        probe then scans ONLY those (the index is bucketed on bkey).
+        Consumes the batch's already-persisted band rows (apply_batch signs
+        once); collects distinct bucket IDS only (≤ n_buckets ints, never
+        row data — same bound class as the CDC merge probe)."""
         from py_mongo_sync_spark.plans.lake import bucket_expr, manifest_bucket_cols
 
         m = self.bands_table.manifest()
-        nb = banded_signature_rows(
-            batch, self.id_col, self.text_col,
-            self.params["n_hashes"], self.params["bands"], self.params["k"],
-        )
         rows = (
-            nb.select(bucket_expr(manifest_bucket_cols(m),
-                                  m["n_buckets"]).alias("_b"))
+            new_bands.select(bucket_expr(manifest_bucket_cols(m),
+                                         m["n_buckets"]).alias("_b"))
             .distinct().collect()
         )
         return sorted(r["_b"] for r in rows)

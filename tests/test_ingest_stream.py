@@ -158,7 +158,13 @@ def test_index_probe_prunes_to_touched_buckets(spark, tmp_path):
     p.initial_load(seen)
     batch = _docs(spark, [(100, BASE * 4 + "tail")])
 
-    touched = p._touched_index_buckets(batch)
+    from py_mongo_sync_spark.operators.neardup import banded_signature_rows
+
+    touched = p._touched_index_buckets(
+        banded_signature_rows(batch, "doc_id", "text",
+                              p.params["n_hashes"], p.params["bands"],
+                              p.params["k"])
+    )
     assert 0 < len(touched) <= 8
     s = p.apply_batch(batch, batch_id=0)
     assert (s["n_dup"], s["n_novel"]) == (1, 0)
@@ -168,3 +174,27 @@ def test_index_probe_prunes_to_touched_buckets(spark, tmp_path):
         batch, seen, seen_bands=p.bands_table.read().select("_id", "band", "bkey")
     ).collect()
     assert [(r["doc_id"], r["is_dup"], r["dup_of"]) for r in full] == [(100, True, 9)]
+
+
+def test_batch_signed_exactly_once_per_apply(spark, tmp_path):
+    """r4 shipped THREE signing subtrees per batch (bucket probe, decisions,
+    index delta) — separate Spark actions, so ReuseExchange couldn't dedup
+    them. apply_batch now signs once into a persisted frame and threads it
+    through; pin it with the plan-construction counter."""
+    from py_mongo_sync_spark.operators import neardup
+
+    p = _pipe(spark, tmp_path, "sign_once")
+    p.initial_load(_docs(spark, [(1, BASE * 4)]))
+
+    before = neardup.SIGNING_CALLS
+    s = p.apply_batch(_docs(spark, [
+        (10, BASE * 4 + "tail"),
+        (11, NOVEL1 * 4),
+    ]), batch_id=0)
+    assert neardup.SIGNING_CALLS - before == 1
+    assert (s["n_new"], s["n_dup"], s["n_novel"]) == (2, 1, 1)
+
+    # replayed (already-committed) batch short-circuits: zero signings
+    before = neardup.SIGNING_CALLS
+    assert p.apply_batch(_docs(spark, [(10, "x")]), batch_id=0)["skipped"]
+    assert neardup.SIGNING_CALLS - before == 0

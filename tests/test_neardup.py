@@ -224,3 +224,62 @@ def test_containment_catches_quoted_small_doc_jaccard_misses(spark):
                                threshold_pct=80).collect()
     assert [(r["doc_a"], r["doc_b"]) for r in cont] == [(1, 2)]
     assert jac == []
+
+
+def test_rare_shingle_candidates_find_small_doc_quoted_in_huge_doc(spark):
+    """The containment recall hole, closed: a ~30-word doc quoted verbatim
+    inside a ~3,000-word doc has Jaccard ≈ 1%, so MinHash banding (which
+    estimates Jaccard) misses the pair — but the rare-shingle inverted
+    index MUST surface it, and the containment verify must confirm it."""
+    from py_mongo_sync_spark.operators.neardup import (
+        rare_shingle_candidate_pairs,
+        verify_pairs_containment,
+    )
+
+    small = ("a peculiar quarantined zebra vexed jumbled sphinxes while "
+             "quirky fjords buzzed gnomically beyond wizardly xylophones "
+             "jackdaws quiz vows exempt frozen glyphs mixed up plus seven "
+             "more oddly unique tokens")
+    assert 25 <= len(small.split()) <= 35
+    filler = " ".join(
+        f"filler{i} common words about ordinary things number {i} and text"
+        for i in range(300)
+    )
+    big = filler + " " + small + " " + filler.replace("filler", "other")
+    assert len(big.split()) >= 3000
+    others = [
+        (i, f"unrelated doc {i} " + " ".join(f"tok{i}_{j}" for j in range(40)))
+        for j in range(1) for i in range(10, 20)
+    ]
+    docs = spark.createDataFrame([(1, small), (2, big)] + others,
+                                 ["doc_id", "text"])
+
+    banded = banded_signature_rows(docs, "doc_id", "text")
+    band_pairs, _ = capped_candidate_pairs(banded)
+    # the premise: bands alone do NOT carry the extreme-ratio pair
+    assert (1, 2) not in {(r.doc_a, r.doc_b) for r in band_pairs.collect()}
+
+    rare = rare_shingle_candidate_pairs(docs, "doc_id", "text")
+    assert (1, 2) in {(r.doc_a, r.doc_b) for r in rare.collect()}
+
+    pairs = band_pairs.unionByName(rare).distinct()
+    hits = verify_pairs_containment(docs, pairs, "doc_id", "text",
+                                    k=5, threshold_pct=90)
+    assert (1, 2) in {(r.doc_a, r.doc_b) for r in hits.collect()}
+
+
+def test_rare_shingle_overflow_is_counted_not_silent(spark):
+    """Shingles above max_df are dropped as candidates but COUNTED."""
+    from py_mongo_sync_spark.operators.neardup import rare_shingle_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "identical everywhere " * 3) for i in range(12)]
+        + [(100, "a lone different document about nothing shared at all")],
+        ["doc_id", "text"],
+    )
+    pairs, stats = rare_shingle_candidate_pairs(
+        docs, "doc_id", "text", max_df=8, with_stats=True
+    )
+    assert pairs.count() == 0          # every shared shingle is over-cap
+    assert stats.count() > 0           # ...and each drop is visible
+    assert stats.agg(F.min("df")).first()[0] > 8

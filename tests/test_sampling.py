@@ -53,3 +53,42 @@ def test_percentile_floor_exact_and_sketch_paths(spark):
     kept_a = percentile_floor(df, "v", frac=0.1, exact=False)
     vals_a = sorted(r["v"] for r in kept_a.collect())
     assert vals_a[0] == 9.0 and len(vals_a) == 91
+
+
+def test_stratified_cap_overshoot_is_identical_and_bounded(spark):
+    """The fused overshoot-then-cap path must return EXACTLY the plain
+    cap's rows (the pre-filter is a prefix of the ranking hash, with a
+    full-rows fallback for under-filled groups), while feeding the window
+    a bounded slice of each big group instead of the whole group."""
+    from py_mongo_sync_spark.operators.sampling import (
+        _RANK_SPAN, stratified_cap,
+    )
+    from py_mongo_sync_spark.functions.similarity import md5_long
+    from pyspark.sql import functions as F
+
+    rows = [(i, "big" if i % 10 else "small") for i in range(5000)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+
+    plain = stratified_cap(df, ["grp"], 20)
+    fused = stratified_cap(df, ["grp"], 20, overshoot=4)
+    assert sorted((r.doc_id, r.grp) for r in fused.collect()) == \
+           sorted((r.doc_id, r.grp) for r in plain.collect())
+
+    # bound evidence: the big group's survivor prefix is ~overshoot*k of
+    # 4500 rows, not the whole group (binomial around 80; 3x margin)
+    counts = df.groupBy("grp").agg(F.count(F.lit(1)).alias("_n"))
+    ceil = (F.lit(float(_RANK_SPAN)) / F.col("_n") * 80).cast("long")
+    surv_big = (
+        df.join(counts, "grp").where(F.col("grp") == "big")
+        .where(md5_long(F.col("doc_id").cast("string"), 15) < ceil)
+        .count()
+    )
+    assert surv_big < 240, surv_big
+    assert surv_big >= 20
+
+    # pathological under-fill: overshoot window smaller than k still exact
+    # (fallback path), pinned with k bigger than the expected prefix
+    fused2 = stratified_cap(df, ["grp"], 450, overshoot=1)
+    plain2 = stratified_cap(df, ["grp"], 450)
+    assert sorted((r.doc_id, r.grp) for r in fused2.collect()) == \
+           sorted((r.doc_id, r.grp) for r in plain2.collect())

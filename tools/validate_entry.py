@@ -2,12 +2,20 @@
 __spark_entry__ query on Spark AND its oracle SQL on DuckDB at sf0.01,
 compare row count, sorted-column-name schema, and an order-insensitive
 value hash. Usage:
-PYTHONPATH=/root/repo python tools/validate_entry.py [sf_dir] [only_query ...]"""
+PYTHONPATH=/root/repo python tools/validate_entry.py [sf_dir] [only_query ...]
+
+STRICT=1 switches float normalization from %.6g to full-precision repr —
+the adversarial mode that models a driver hashing exact binary doubles:
+two engines that agree to 6 significant digits but land on NEIGHBORING
+doubles (the round-tie class that broke boilerplate_profile in r4) FAIL
+here. Queries must pass strict mode to be considered hash-hardened;
+the durable fix is integer/decimal output columns, not looser hashing."""
 
 from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 
 import duckdb
@@ -20,6 +28,7 @@ from py_mongo_sync_spark.session import get_spark
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
+STRICT = os.environ.get("STRICT", "") == "1"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -27,6 +36,12 @@ def norm_cell(v):
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "NULL"
     if isinstance(v, float):
+        # Strict: NO integral-float collapse — an int64 column on one
+        # engine vs a float64 on the other (e.g. DuckDB sum() → HUGEINT →
+        # pandas float64, the r4 boilerplate_profile driver failure) must
+        # FAIL here, because a driver hashing dtyped values sees 2 ≠ 2.0.
+        if STRICT:
+            return repr(v)
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return f"{v:.6g}"
@@ -49,7 +64,10 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    # not driver-submitted (50-row sweep budget) but still oracle-pinned here
+    if hasattr(entrymod, "extra_queries"):
+        qs.update(entrymod.extra_queries())
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():

@@ -975,6 +975,56 @@ def q_quality_scores(spark, sf):
     )
 
 
+def q_split_decontamination(spark, sf):
+    """Cross-split leakage check — the composition ``hash_split`` ∘
+    ``contamination_decision``: documents land in train/val/test by
+    corpus-independent md5 buckets, then every EVAL (val+test) doc is
+    checked for a near-duplicate in the TRAIN split (banded MinHash
+    candidates → exact shingle-Jaccard ≥ 80%). The standard eval-set
+    hygiene audit: a held-out set contaminated by its own training split
+    measures memorization, not generalization. One decision row per eval
+    doc with the minimum matching train id as evidence. Neither side is
+    assumed small — candidates come from the band-bucket equi-join, so
+    cost stays linear in corpus size at 100 TB."""
+    from py_mongo_sync_spark.functions.text import hash_split
+    from py_mongo_sync_spark.operators.decontaminate import contamination_decision
+
+    d = _t(spark, sf, "documents").withColumn(
+        "split", hash_split(F.col("doc_id"))
+    )
+    evald = d.where("split <> 'train'")
+    train = d.where("split = 'train'")
+    return contamination_decision(evald, train).select(
+        "doc_id",
+        "contaminated",
+        F.col("bench_id").alias("train_doc_id"),
+        F.col("n_bench_matches").alias("n_train_matches"),
+    )
+
+
+def q_holdout_split(spark, sf):
+    """Deterministic train/val/test holdout over the NORMALIZED corpus —
+    the two canonicalization primitives every pipeline runs first:
+    ``normalize_text`` (markup/whitespace/case canonicalization, pure JVM
+    regexp chain) feeding ``hash_split`` (md5-bucket assignment whose
+    per-row fate is corpus-independent). Integer-only output (counts and
+    a summed normalized length), so the driver hash is float-free."""
+    from py_mongo_sync_spark.functions.text import hash_split, normalize_text
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(
+            hash_split(F.col("doc_id")).alias("split"),
+            F.length(normalize_text(F.col("text"))).alias("norm_len"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("norm_len").cast("long").alias("sum_norm_len"),
+        )
+    )
+
+
 def q_multimodal_binary_meta(spark, sf):
     from py_mongo_sync_spark.functions.multimodal import extract_binary_metadata
 
@@ -1081,6 +1131,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_counts": q_pivot_event_counts,
         "embedding_label_norms": q_embedding_label_norms,
         "curated_corpus": q_curated_corpus,
+        "holdout_split": q_holdout_split,
+        "split_decontamination": q_split_decontamination,
     }
 
 
@@ -1535,6 +1587,26 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'en' END AS lang_pred
             FROM hits
         """,
+        "holdout_split": """
+            WITH n AS (
+                SELECT CASE
+                         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+                           THEN 'train'
+                         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 95
+                           THEN 'val'
+                         ELSE 'test'
+                       END AS split,
+                       lower(trim(regexp_replace(regexp_replace(regexp_replace(
+                           text, '<[^>]*>', ' ', 'g'),
+                           '[\\x00-\\x1f]', ' ', 'g'),
+                           '  +', ' ', 'g'))) AS norm
+                FROM documents
+            )
+            SELECT split,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(length(norm)) AS BIGINT) AS sum_norm_len
+            FROM n GROUP BY split
+        """,
         "quality_scores": """
             WITH s AS (
                 SELECT doc_id,
@@ -1752,9 +1824,12 @@ def _hash_parity_oracles() -> dict[str, str]:
                     FROM sh{sfx} GROUP BY doc_id),
         bands{sfx} AS ({rows})"""
 
-    decon = f"""
-        WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
-        bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+    def _decon_sql(corpus_where: str, bench_where: str,
+                   bench_alias: str = "bench_id",
+                   n_alias: str = "n_bench_matches") -> str:
+        return f"""
+        WITH corpus AS (SELECT doc_id, text FROM documents WHERE {corpus_where}),
+        bench AS (SELECT doc_id, text FROM documents WHERE {bench_where}),
         {_banded_cte('corpus', 'c')},
         {_banded_cte('bench', 'bn')},
         cand AS (
@@ -1775,7 +1850,7 @@ def _hash_parity_oracles() -> dict[str, str]:
             FROM bench
         ),
         hits AS (
-            SELECT cid, min(bid) AS bench_id, count(*) AS n
+            SELECT cid, min(bid) AS {bench_alias}, count(*) AS n
             FROM cand
             JOIN setsc sa ON sa.doc_id = cand.cid
             JOIN setsb sb ON sb.doc_id = cand.bid
@@ -1784,11 +1859,23 @@ def _hash_parity_oracles() -> dict[str, str]:
             GROUP BY cid
         )
         SELECT c.doc_id,
-               (h.bench_id IS NOT NULL) AS contaminated,
-               h.bench_id,
-               coalesce(h.n, 0) AS n_bench_matches
+               (h.{bench_alias} IS NOT NULL) AS contaminated,
+               h.{bench_alias},
+               coalesce(h.n, 0) AS {n_alias}
         FROM corpus c LEFT JOIN hits h ON h.cid = c.doc_id
     """
+
+    decon = _decon_sql("doc_id % 20 <> 0", "doc_id % 20 = 0")
+
+    # --- split decontamination: eval side = hash_split val+test buckets,
+    # train side = the other 90%; same banded-candidate + exact-Jaccard
+    # machinery, one decision row per EVAL doc (leakage check direction)
+    _train_pred = ("('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+                   " % 100 < 90")
+    split_decon = _decon_sql(
+        f"NOT ({_train_pred})", _train_pred,
+        bench_alias="train_doc_id", n_alias="n_train_matches",
+    )
 
     # --- containment-verified pairs: the neardup candidate CTEs (same
     # banding + cap), cut by |A∩B| >= 90% of the SMALLER set instead of
@@ -2081,6 +2168,7 @@ def _hash_parity_oracles() -> dict[str, str]:
         "minhash_neardup": minhash,
         "neardup_clusters": neardup_clusters_sql,
         "decontamination": decon,
+        "split_decontamination": split_decon,
         "neardup_ingest": ingest,
         "containment_neardup": containment_sql,
         "rare_shingle_containment": rare_containment,

@@ -119,6 +119,41 @@ def pii_hit_counts(text: Column) -> Column:
     )
 
 
+def normalize_text(text: Column, strip_html: bool = True) -> Column:
+    """Canonicalize raw scraped text before dedup/quality scoring: strip
+    HTML-ish tags, drop ASCII control characters, collapse runs of
+    whitespace to single spaces, trim, lowercase. Pure chained JVM
+    ``regexp_replace`` + ``lower`` (whole-stage codegen, no UDF), and the
+    patterns are Java∩RE2-safe so a SQL oracle applies them verbatim.
+    Normalizing BEFORE shingling is what makes near-dup detection robust
+    to markup/whitespace-only differences between crawls of one page."""
+    out = text
+    if strip_html:
+        out = F.regexp_replace(out, r"<[^>]*>", " ")
+    out = F.regexp_replace(out, r"[\x00-\x1f]", " ")
+    out = F.regexp_replace(out, r"  +", " ")
+    return F.lower(F.trim(out))
+
+
+def hash_split(
+    id_col: Column, train_pct: int = 90, val_pct: int = 5
+) -> Column:
+    """'train' / 'val' / 'test' label from md5_32(id) % 100 — the
+    deterministic holdout split: a document's assignment never depends on
+    the rest of the corpus (stable under re-runs, appends, re-shards —
+    the property that keeps eval sets uncontaminated as the corpus
+    grows), and the expression is a pure per-row filter any engine
+    reproduces bit-for-bit (same md5 parity as ``hash_rate_sample``)."""
+    from py_mongo_sync_spark.functions.similarity import md5_long
+
+    b = F.pmod(md5_long(id_col.cast("string"), 8), F.lit(100))
+    return (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def repetition_ratio(text: Column, n: int = 3) -> Column:
     """Intra-document repetition: 1 - distinct/total word n-grams — the
     cheap degenerate-text detector (boilerplate, keyboard mash, model

@@ -46,6 +46,42 @@ def test_decontaminate_removes_only_contaminated(spark):
     assert kept == {2, 3}
 
 
+def test_split_leakage_direction(spark):
+    """hash_split ∘ contamination_decision: only EVAL docs are judged, and
+    only TRAIN near-matches count as evidence — a dup pair living entirely
+    inside train is invisible to the leakage check."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from py_mongo_sync_spark.functions.text import hash_split
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+
+    train_ids = [i for i in range(200) if bucket(i) < 90]
+    eval_ids = [i for i in range(200) if bucket(i) >= 90]
+    leak_txt = "the exact evaluation prompt that leaked into training" * 3
+    train_dup = "a template repeated twice inside the train split only" * 3
+    rows = []
+    for j, i in enumerate(train_ids[:4]):
+        rows.append((i, [leak_txt, train_dup, train_dup,
+                         "clean train doc about something else entirely" * 3][j]))
+    leak_eval, clean_eval = eval_ids[0], eval_ids[1]
+    rows.append((leak_eval, leak_txt))
+    rows.append((clean_eval, "an original held out question nothing copies" * 3))
+    d = _docs(spark, rows).withColumn("split", hash_split(F.col("doc_id")))
+    evald = d.where("split <> 'train'")
+    train = d.where("split = 'train'")
+    got = {r["doc_id"]: r for r in
+           contamination_decision(evald, train).collect()}
+    # exactly the eval docs are judged
+    assert set(got) == {leak_eval, clean_eval}
+    assert got[leak_eval]["contaminated"]
+    assert got[leak_eval]["bench_id"] == train_ids[0]
+    assert not got[clean_eval]["contaminated"]
+
+
 def test_ngram_overlap_flags_verbatim_run_only(spark):
     from py_mongo_sync_spark.operators.decontaminate import (
         ngram_contamination_decision,

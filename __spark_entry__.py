@@ -1025,6 +1025,36 @@ def q_holdout_split(spark, sf):
     )
 
 
+def q_url_dedup(spark, sf):
+    """URL-level dedup — the cheapest dedup tier, run before any content
+    hashing: canonicalize each fetch's URL (``canonicalize_url``: case,
+    www, default ports, fragments, tracking params, separator repair,
+    trailing slash) and keep one fetch per canonical key. URLs are
+    synthesized deterministically from doc_id (two differently-dirty
+    variants of the same logical page), so the oracle rebuilds them in
+    SQL; the group-by proves 500 dirty fetches collapse to 50 pages.
+    Per-row key + one hash aggregate — linear at crawl scale."""
+    from py_mongo_sync_spark.functions.text import canonicalize_url
+
+    d = _t(spark, sf, "documents")
+    k = (F.col("doc_id") % 50).cast("string")
+    dirty = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("HTTPS://WWW.Example.COM:443/page/"), k,
+                 F.lit("?utm_source=x&utm_medium=y#frag")),
+    ).otherwise(
+        F.concat(F.lit("https://example.com/page/"), k, F.lit("/?ref=tw"))
+    )
+    return (
+        d.select(canonicalize_url(dirty).alias("url"), "doc_id")
+        .groupBy("url")
+        .agg(
+            F.count("*").cast("long").alias("n_fetches"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
 def q_multimodal_binary_meta(spark, sf):
     from py_mongo_sync_spark.functions.multimodal import extract_binary_metadata
 
@@ -1133,6 +1163,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curated_corpus": q_curated_corpus,
         "holdout_split": q_holdout_split,
         "split_decontamination": q_split_decontamination,
+        "url_dedup": q_url_dedup,
     }
 
 
@@ -1606,6 +1637,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(length(norm)) AS BIGINT) AS sum_norm_len
             FROM n GROUP BY split
+        """,
+        "url_dedup": """
+            WITH inj AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0
+                            THEN 'HTTPS://WWW.Example.COM:443/page/'
+                                 || CAST(doc_id % 50 AS VARCHAR)
+                                 || '?utm_source=x&utm_medium=y#frag'
+                            ELSE 'https://example.com/page/'
+                                 || CAST(doc_id % 50 AS VARCHAR) || '/?ref=tw'
+                       END AS u
+                FROM documents
+            ),
+            canon AS (
+                SELECT doc_id,
+                       lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                       regexp_replace(regexp_replace(
+                           lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                           '^www\\.', ''), ':(80|443)$', '') AS host,
+                       regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                           regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1),
+                           '([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid|igshid|ref|mc_cid|mc_eid)=[^&#]*', '\\1', 'g'),
+                           '&&+', '&', 'g'), '\\?&+', '?', 'g'), '[?&]+$', ''), '/$', '') AS rest
+                FROM inj
+            )
+            SELECT scheme || '://' || host || rest AS url,
+                   CAST(COUNT(*) AS BIGINT) AS n_fetches,
+                   MIN(doc_id) AS keep_doc_id
+            FROM canon GROUP BY 1
         """,
         "quality_scores": """
             WITH s AS (

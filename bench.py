@@ -333,13 +333,16 @@ EXTRA_QUERY_NAMES = [
     "pii_redaction", "dedup_exact_stream", "neardup_ingest", "vocab_topk",
     "ngram_decontamination", "quality_floor", "boilerplate_profile",
     "containment_neardup", "conversation_rollup", "rare_shingle_containment",
+    # r5: canonicalization / holdout / leakage family
+    "holdout_split", "split_decontamination", "url_dedup",
 ]
 
 
 def run_extra_queries(spark, attempts: int = 2) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    qs.update(entrymod.extra_queries())
     out = {}
     for name in EXTRA_QUERY_NAMES:
         ts = []

@@ -154,6 +154,52 @@ def hash_split(
     )
 
 
+#: Query parameters that never change page content — analytics/click
+#: tracking only. Stripping them is what makes the canonical URL a usable
+#: crawl-dedup key (the same article arrives once per ad campaign
+#: otherwise). Exact names anchored by the '=' that follows, so e.g.
+#: 'referrer=' is NOT matched by 'ref'.
+_TRACKING_PARAMS = r"utm_[A-Za-z0-9_]*|fbclid|gclid|igshid|ref|mc_cid|mc_eid"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a URL for crawl-level dedup — the key under which
+    two fetches of the same page collapse: lowercase scheme and host,
+    strip a leading ``www.`` and explicit default ports (:80/:443), drop
+    the fragment, remove tracking query params (see ``_TRACKING_PARAMS``),
+    repair the separators their removal leaves behind, and strip one
+    trailing slash. Path and non-tracking query values keep their case
+    (paths are case-sensitive). Strings without a ``scheme://`` prefix
+    pass through trimmed and unchanged.
+
+    Pure chained JVM ``regexp_extract``/``regexp_replace`` (whole-stage
+    codegen, zero shuffle — a per-row key like ``hash_split``); patterns
+    are Java∩RE2 constructs so a SQL oracle reproduces the string
+    bit-for-bit (Java spells the backreference ``$1``, RE2 ``\\1`` —
+    replacement syntax differs, the semantics are identical)."""
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r"^www\.", ""), r":(80|443)$", ""
+    )
+    rest = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1
+    )
+    rest = F.regexp_replace(
+        rest, r"([?&])(" + _TRACKING_PARAMS + r")=[^&#]*", "$1"
+    )
+    rest = F.regexp_replace(rest, r"&&+", "&")
+    rest = F.regexp_replace(rest, r"\?&+", "?")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    rest = F.regexp_replace(rest, r"/$", "")
+    return F.when(scheme == "", u).otherwise(
+        F.concat(scheme, F.lit("://"), host, rest)
+    )
+
+
 def repetition_ratio(text: Column, n: int = 3) -> Column:
     """Intra-document repetition: 1 - distinct/total word n-grams — the
     cheap degenerate-text detector (boilerplate, keyboard mash, model

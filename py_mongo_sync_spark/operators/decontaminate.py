@@ -64,7 +64,16 @@ def contamination_decision(
     )
 
     def _sets(df: DataFrame, idc: str, txt: str, ida: str, seta: str) -> DataFrame:
-        return df.select(
+        # shingle ONLY candidate docs: semi-join to the candidate ids
+        # BEFORE the shingle explode, so verify cost is O(candidates)
+        # rather than O(corpus) — the same candidate-bounded shape as
+        # neardup._candidate_shingle_sets (at 10^9 training docs,
+        # re-shingling the whole corpus to verify a sliver of candidate
+        # rows is the dominant wasted work)
+        ids = cand.select(F.col(ida)).distinct()
+        return df.join(
+            ids, df[idc] == ids[ida], "left_semi"
+        ).select(
             F.col(idc).alias(ida),
             F.array_distinct(char_shingles(txt, k)).alias(seta),
         )

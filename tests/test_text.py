@@ -98,6 +98,33 @@ def test_hash_split_deterministic_and_corpus_independent(spark):
     assert 0.2 < ch["val"] / 2000 < 0.3
 
 
+def test_canonicalize_url(spark):
+    from pyspark.sql import functions as F
+
+    from py_mongo_sync_spark.functions.text import canonicalize_url
+
+    rows = [
+        # host case + www + default port + tracking params + fragment
+        ("HTTPS://WWW.Example.COM:443/Page/3?utm_source=x&utm_medium=y#frag",
+         "https://example.com/Page/3"),
+        # trailing slash + single tracking param leaves an empty query
+        ("https://example.com/page/3/?ref=tw", "https://example.com/page/3"),
+        # tracking param sandwiched between real params
+        ("http://a.com/p?a=1&ref=2&b=3", "http://a.com/p?a=1&b=3"),
+        # 'referrer' is not 'ref' — kept; non-default port kept
+        ("http://a.com:8080/p?referrer=x", "http://a.com:8080/p?referrer=x"),
+        # path case preserved; root slash stripped
+        ("https://A.com/", "https://a.com"),
+        # no scheme: pass through trimmed, untouched
+        ("  not a url at all  ", "not a url at all"),
+        # adjacent tracking params collapse cleanly
+        ("https://b.io/x?utm_a=1&utm_b=2&q=ok", "https://b.io/x?q=ok"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "url string")
+    got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
+    assert got == [w for _, w in rows]
+
+
 def test_boilerplate_profile_cross_doc(spark):
     from py_mongo_sync_spark.functions.text import boilerplate_profile
 

@@ -876,9 +876,25 @@ class LakeTable:
             "t_write": round(time.monotonic() - t0, 2),
         }
         if compact_threshold:
-            due = [int(b) for b, files in deltas.items() if len(files) >= compact_threshold]
+            # Staggered per-bucket due thresholds. Under a uniform key mix
+            # every bucket accrues ~1 delta per batch, so one shared
+            # threshold makes ALL buckets come due in the SAME batch — a
+            # synchronized compaction storm (measured: 2.3x batch wall
+            # time every compact_threshold batches, BENCH_sustained r5).
+            # Offsetting each bucket's threshold by (bucket % jitter)
+            # spreads the rewrites over ~jitter consecutive batches, and
+            # the distinct per-bucket periods keep them from
+            # re-synchronizing; worst-case read amplification grows from
+            # threshold to threshold + jitter - 1 deltas on a bucket.
+            jitter = max(1, compact_threshold // 2)
+            due = [
+                int(b) for b, files in deltas.items()
+                if len(files) >= compact_threshold + (int(b) % jitter)
+            ]
             if due:
+                t_c = time.monotonic()
                 res["compacted"] = self.compact(buckets=due)
+                res["compacted"]["t_sec"] = round(time.monotonic() - t_c, 2)
         return res
 
     def compact(self, buckets: list[int] | None = None) -> dict:

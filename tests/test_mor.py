@@ -173,6 +173,43 @@ def test_mor_auto_compaction_bounds_delta_count(spark, tmp_path):
     assert row["text"] == "v6"
 
 
+def test_mor_compaction_staggered_across_batches(spark, tmp_path):
+    """Per-bucket due thresholds are offset by (bucket % jitter): a uniform
+    stream that lands one delta in EVERY bucket EVERY batch must NOT
+    compact all buckets in the same batch (the synchronized-storm case the
+    sustained bench measured at 2.3x batch wall time) — low-offset buckets
+    come due a batch earlier than high-offset ones, and no bucket ever
+    exceeds threshold + jitter - 1 deltas."""
+    threshold = 4  # jitter = 2: buckets 0,2 due at 4 deltas; 1,3 at 5
+    pipe = _pipe(spark, tmp_path, compact_threshold=threshold)
+    snap = gen_transcripts_snapshot(spark, 8, 2)
+    pipe.initial_sync(snap)
+    compact_events = {}  # batch_id -> buckets compacted
+    max_deltas_seen = 0
+    for i in range(12):
+        events = [
+            (1000 + i, "u", NS, json.dumps(
+                {"conv_id": f"conv_{c:06d}", "turn_idx": t,
+                 "$set": {"text": f"b{i}"}}))
+            for c in range(8) for t in range(2)
+        ]
+        res = pipe.apply_batch(_ev_df(spark, events), i)
+        # every batch must touch every bucket for the storm setup to hold
+        assert res["changed_buckets"] == 4
+        m = pipe.table.manifest()
+        max_deltas_seen = max(
+            max_deltas_seen,
+            max((len(v) for v in m.get("deltas", {}).values()), default=0),
+        )
+        if "compacted" in res:
+            compact_events[i] = res["compacted"]["compacted_buckets"]
+    assert compact_events, "compaction never triggered"
+    # the storm case would put 4 buckets in one event; stagger forbids it
+    assert max(compact_events.values()) < 4
+    assert len(compact_events) >= 2
+    assert max_deltas_seen < threshold + 2  # threshold + jitter
+
+
 def test_mor_replay_idempotent_and_tombstones_persist(spark, tmp_path):
     pipe = _pipe(spark, tmp_path)
     snap = gen_transcripts_snapshot(spark, 6, 2)

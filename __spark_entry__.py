@@ -1002,6 +1002,33 @@ def q_split_decontamination(spark, sf):
     )
 
 
+def q_doc_keywords(spark, sf):
+    """Per-document keyword extraction by corpus distinctiveness — the
+    inverse of ``vocab_topk``: for each doc, its 3 rarest words by corpus
+    document-frequency (ties broken lexically, a total order since words
+    are distinct per doc). The df-rarity signal is what labels/clusters a
+    corpus without a model; same machinery the rare-shingle containment
+    index uses, at word granularity with per-doc output. Two shuffles
+    (per-word df agg + the df join) plus a per-doc window bounded by doc
+    vocabulary — linear at corpus scale. Integer/string-only output."""
+    d = _t(spark, sf, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))
+        ).alias("w"),
+    ).where("w <> ''")
+    dfc = words.groupBy("w").agg(F.count("*").cast("long").alias("df"))
+    win = W.partitionBy("doc_id").orderBy("df", "w")
+    return (
+        words.join(dfc, "w")
+        .withColumn("rank", F.row_number().over(win))
+        .where("rank <= 3")
+        .select("doc_id", F.col("w").alias("keyword"), "df",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def q_holdout_split(spark, sf):
     """Deterministic train/val/test holdout over the NORMALIZED corpus —
     the two canonicalization primitives every pipeline runs first:
@@ -1164,6 +1191,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holdout_split": q_holdout_split,
         "split_decontamination": q_split_decontamination,
         "url_dedup": q_url_dedup,
+        "doc_keywords": q_doc_keywords,
     }
 
 
@@ -1637,6 +1665,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(length(norm)) AS BIGINT) AS sum_norm_len
             FROM n GROUP BY split
+        """,
+        "doc_keywords": """
+            WITH words AS (
+                SELECT DISTINCT doc_id, w FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(lower(text), '\\s+')) AS w
+                    FROM documents
+                ) WHERE w <> ''
+            ),
+            dfc AS (
+                SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM words GROUP BY w
+            )
+            SELECT doc_id, w AS keyword, df, CAST(rk AS INT) AS rank FROM (
+                SELECT doc_id, w, df,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY df, w) AS rk
+                FROM words JOIN dfc USING (w)
+            ) WHERE rk <= 3
         """,
         "url_dedup": """
             WITH inj AS (

@@ -333,8 +333,8 @@ EXTRA_QUERY_NAMES = [
     "pii_redaction", "dedup_exact_stream", "neardup_ingest", "vocab_topk",
     "ngram_decontamination", "quality_floor", "boilerplate_profile",
     "containment_neardup", "conversation_rollup", "rare_shingle_containment",
-    # r5: canonicalization / holdout / leakage family
-    "holdout_split", "split_decontamination", "url_dedup",
+    # r5: canonicalization / holdout / leakage / keyword family
+    "holdout_split", "split_decontamination", "url_dedup", "doc_keywords",
 ]
 
 

@@ -786,7 +786,13 @@ def q_rare_shingle_containment(spark, sf):
     band_pairs, _ = capped_candidate_pairs(banded, max_bucket=64)
     rare = rare_shingle_candidate_pairs(corpus, "doc_id", "text",
                                         k=5, n_rare=4, max_df=64)
-    pairs = band_pairs.unionByName(rare).distinct()
+    # persist the skinny pair list: verify references it twice (endpoint
+    # ids + the verify join) and ReuseExchange does NOT collapse
+    # self-references after alias-dedup rewrites exprIds — without the
+    # cache BOTH candidate generators re-execute per reference
+    # (measured ~25% of query wall). Populated lazily on first action;
+    # partition-level locking dedups computation within that action.
+    pairs = band_pairs.unionByName(rare).distinct().persist()
     return verify_pairs_containment(corpus, pairs, "doc_id", "text",
                                     k=5, threshold_pct=90)
 

@@ -122,11 +122,13 @@ def _candidate_shingle_sets(
     path, operators/ingest_dedup.py — measured ~15% there; the pairs
     lineage is referenced three times in one query, which ReuseExchange
     computes once.)"""
-    ids = (
-        pairs.select(F.col("doc_a").alias(id_col))
-        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
-        .distinct()
-    )
+    # both endpoints in ONE pass over pairs: the union-of-two-selects form
+    # references the pairs lineage twice, and (measured) ReuseExchange does
+    # NOT collapse self-references whose alias-dedup rewrote the exprIds —
+    # each extra reference re-executes the whole candidate pipeline
+    ids = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias(id_col)
+    ).distinct()
     return df.join(ids, id_col, "left_semi").select(
         F.col(id_col).alias("_sid"),
         F.array_distinct(char_shingles(text_col, k)).alias("_set"),

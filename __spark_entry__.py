@@ -1008,6 +1008,20 @@ def q_split_decontamination(spark, sf):
     )
 
 
+def q_boilerplate_removal(spark, sf):
+    """APPLY the C4 repeated-line rule (functions/text.py::
+    remove_boilerplate_lines): lines of >= 20 chars occurring in >= 4
+    distinct documents are dropped and each doc reassembled in original
+    order — ``boilerplate_profile`` measures the disease, this is the
+    cure a pipeline actually ships. Lossless reassembly (fixed separator
+    re-inserted verbatim) makes the cleaned TEXT itself hash-comparable
+    against the SQL oracle, not just the counts."""
+    from py_mongo_sync_spark.functions.text import remove_boilerplate_lines
+
+    d = _t(spark, sf, "documents")
+    return remove_boilerplate_lines(d, min_docs=4, min_chars=20)
+
+
 def q_doc_keywords(spark, sf):
     """Per-document keyword extraction by corpus distinctiveness — the
     inverse of ``vocab_topk``: for each doc, its 3 rarest words by corpus
@@ -1198,6 +1212,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_decontamination": q_split_decontamination,
         "url_dedup": q_url_dedup,
         "doc_keywords": q_doc_keywords,
+        "boilerplate_removal": q_boilerplate_removal,
     }
 
 
@@ -1671,6 +1686,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(length(norm)) AS BIGINT) AS sum_norm_len
             FROM n GROUP BY split
+        """,
+        "boilerplate_removal": """
+            WITH parts AS (
+                SELECT doc_id, string_split(text, '. ') AS ls FROM documents
+            ),
+            lines AS (
+                SELECT doc_id,
+                       unnest(range(1, len(ls) + 1)) AS pos,
+                       unnest(ls) AS l
+                FROM parts
+            ),
+            bp AS (
+                SELECT l FROM (
+                    SELECT l, COUNT(DISTINCT doc_id) AS nd
+                    FROM lines WHERE length(l) >= 20 GROUP BY l
+                ) WHERE nd >= 4
+            ),
+            kept AS (
+                SELECT doc_id, pos, l FROM lines
+                WHERE l NOT IN (SELECT l FROM bp)
+            ),
+            totals AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+                FROM lines GROUP BY doc_id
+            ),
+            keptagg AS (
+                SELECT doc_id,
+                       string_agg(l, '. ' ORDER BY pos) AS text_clean,
+                       CAST(COUNT(*) AS BIGINT) AS nkept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(k.text_clean, '') AS text_clean,
+                   t.n_lines,
+                   CAST(t.n_lines - coalesce(k.nkept, 0) AS BIGINT) AS n_removed
+            FROM totals t LEFT JOIN keptagg k USING (doc_id)
         """,
         "doc_keywords": """
             WITH words AS (

@@ -335,6 +335,7 @@ EXTRA_QUERY_NAMES = [
     "containment_neardup", "conversation_rollup", "rare_shingle_containment",
     # r5: canonicalization / holdout / leakage / keyword family
     "holdout_split", "split_decontamination", "url_dedup", "doc_keywords",
+    "boilerplate_removal",
 ]
 
 

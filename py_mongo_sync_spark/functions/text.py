@@ -287,3 +287,73 @@ def boilerplate_profile(
             ).alias("boilerplate_frac"),
         )
     )
+
+
+def remove_boilerplate_lines(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = ". ",
+    min_docs: int = 4,
+    min_chars: int = 20,
+):
+    """APPLY the C4 repeated-line rule (``boilerplate_profile`` detects,
+    this removes): split each doc into sentence-ish lines on ``sep``, drop
+    every line of >= ``min_chars`` chars that occurs in >= ``min_docs``
+    DISTINCT documents (headers, footers, licence blocks, templated
+    boilerplate), and reassemble the survivors in original order. Short
+    lines are exempt — common short sentences are language, not template.
+    Returns one row per doc: (doc_id, text_clean, n_lines, n_removed);
+    a fully-boilerplate doc comes back as the empty string (callers drop
+    on ``n_lines = n_removed``).
+
+    Spark-first cost profile mirrors ``boilerplate_profile``: one
+    posexplode, one exact distinct+groupBy doc count per line, one join
+    back, one per-doc ordered reassembly (``array_sort`` of (pos, line)
+    structs inside the collected array — no global sort). Linear in
+    corpus lines; reassembly is lossless because the split separator is a
+    fixed string re-inserted verbatim."""
+    import re as _re
+
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+            "_pos", "_l"
+        ),
+    )
+    counts = (
+        lines.where(F.length("_l") >= min_chars)
+        .select("_id", "_l")
+        .distinct()
+        .groupBy("_l")
+        .agg(F.count(F.lit(1)).alias("_ndocs"))
+        .where(F.col("_ndocs") >= min_docs)
+        .select("_l")
+    )
+    kept = lines.join(counts, "_l", "left_anti")
+    agg = (
+        lines.groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .join(
+            kept.groupBy("_id").agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("_pos", "_l"))),
+                        lambda s: s["_l"],
+                    ),
+                    sep,
+                ).alias("text_clean"),
+                F.count(F.lit(1)).alias("_nkept"),
+            ),
+            "_id",
+            "left",
+        )
+    )
+    return agg.select(
+        F.col("_id").alias("doc_id"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        (F.col("n_lines") - F.coalesce("_nkept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )

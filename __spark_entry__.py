@@ -527,7 +527,12 @@ def q_conversation_rollup(spark, sf):
 
 def _synthetic_env(spark, sf):
     """Deterministic oplog envelope derived from the events table (shared
-    by the replay and changelog queries)."""
+    by the replay and changelog queries). Persisted: the engine consumes
+    the envelope in SEVERAL separate Spark actions per batch (op-stats
+    aggregate, evolution key-probe, the MERGE join itself), and each
+    action would otherwise rebuild the JSON envelope from the parquet scan
+    (ReuseExchange only dedups within one query — same class as
+    operators/neardup.py::_pin, applied across actions)."""
     ev = _t(spark, sf, "events").where(F.col("event_type") != "view")
     conv = F.concat(F.lit("c"), F.pmod(F.col("user_id"), F.lit(40)).cast("string"))
     turn = F.pmod(F.col("event_id"), F.lit(6)).cast("int")
@@ -545,7 +550,7 @@ def _synthetic_env(spark, sf):
     return ev.select(
         F.col("event_id").alias("ts"), F.col("event_id").alias("seq"),
         op.alias("op"), F.lit("chat.transcripts").alias("ns"), doc.alias("doc"),
-    )
+    ).persist()
 
 
 def q_cdc_changelog(spark, sf):
@@ -1032,12 +1037,16 @@ def q_doc_keywords(spark, sf):
     (per-word df agg + the df join) plus a per-doc window bounded by doc
     vocabulary — linear at corpus scale. Integer/string-only output."""
     d = _t(spark, sf, "documents")
+    # persisted: the df aggregate and the join back both consume the
+    # exploded word rows (the exprId/ReuseExchange trap — see
+    # operators/neardup.py::_pin); the word STRING must survive to the
+    # output (keyword), so the key is not hashed here
     words = d.select(
         "doc_id",
         F.explode(
             F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))
         ).alias("w"),
-    ).where("w <> ''")
+    ).where("w <> ''").persist()
     dfc = words.groupBy("w").agg(F.count("*").cast("long").alias("df"))
     win = W.partitionBy("doc_id").orderBy("df", "w")
     return (

@@ -103,7 +103,15 @@ def _banded_pairs(banded: DataFrame, max_bucket: int | None) -> DataFrame:
     member↔bucket-min representative edges instead — O(c), connectivity
     preserved for downstream clustering (operators/neardup.py verifies and
     clusters; its capped_candidate_pairs also returns the overflow stats).
-    None = uncapped (the oracle-parity shape)."""
+    None = uncapped (the oracle-parity shape).
+
+    ``banded`` is persisted first: both legs of the self-join (and, when
+    capped, the bucket-size aggregate) reference it, and ReuseExchange
+    does not collapse self-references after alias dedup rewrites exprIds
+    (neardup._pin) — unpinned, the whole shingle+minhash signing subtree
+    executed once per reference (measured ~2× query wall on
+    minhash_neardup at sf1.0)."""
+    banded = banded.persist()
     if max_bucket is not None:
         sizes = banded.groupBy("band", "bkey").agg(
             F.count(F.lit(1)).alias("_n"), F.min("_id").alias("_rep")
@@ -343,9 +351,12 @@ def hamming_neardup_pairs(
             F.struct(F.lit(i).alias("chunk"), cexp[i].alias("cval"))
             for i in range(n_chunks)
         ])
+    # persisted: both legs of the blocked self-join reference it, and each
+    # unpinned reference re-runs the upstream SimHash signing (same
+    # exprId/ReuseExchange trap as _banded_pairs above)
     blocked = sig_df.select(
         F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"), F.explode(keys).alias("c")
-    ).select("_id", "_sig", "c.chunk", "c.cval")
+    ).select("_id", "_sig", "c.chunk", "c.cval").persist()
     a, b = blocked.alias("a"), blocked.alias("b")
     cand = a.join(
         b,
@@ -621,11 +632,15 @@ def cosine_neardup_pairs(
     truncated: ``with_stats=True`` returns ``(pairs, stats)`` where stats
     has one row ``(bucket, n_vecs)`` per oversized bucket.
     Rows: (vec_a, vec_b, cos_sim)."""
-    buckets = lsh_hyperplane_buckets(emb, id_col, vec_col, n_planes, dim, weight_mode)
+    # pinned: `buckets` feeds the size aggregate, the tag join and the
+    # representative lookup; `tagged` feeds both self-join legs and the
+    # oversized filter — each unpinned reference re-runs the hyperplane
+    # projections (the exprId/ReuseExchange trap, operators/neardup.py::_pin)
+    buckets = lsh_hyperplane_buckets(emb, id_col, vec_col, n_planes, dim, weight_mode).persist()
     sizes = buckets.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_rep")
     )
-    tagged = buckets.join(sizes, "bucket")
+    tagged = buckets.join(sizes, "bucket").persist()
     a = tagged.where(F.col("_n") <= max_bucket).alias("a")
     b = tagged.where(F.col("_n") <= max_bucket).alias("b")
     small = a.join(

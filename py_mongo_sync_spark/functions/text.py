@@ -250,10 +250,14 @@ def boilerplate_profile(
             lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # persisted: the doc-count aggregate AND the join back both consume the
+    # exploded gram rows; unpinned, the gram explode + md5 ran twice (the
+    # exprId/ReuseExchange trap documented in operators/neardup.py::_pin)
     dg = (
         df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("_g"))
         .select("_id", md5_long(F.col("_g"), 15).alias("_h"))
         .distinct()
+        .persist()
     )
     counts = dg.groupBy("_h").agg(F.count(F.lit(1)).alias("_ndocs"))
     per_doc = (
@@ -315,22 +319,34 @@ def remove_boilerplate_lines(
     fixed string re-inserted verbatim."""
     import re as _re
 
+    from py_mongo_sync_spark.operators.sampling import md5_long
+
+    # persisted: three consumers below (the doc-frequency count, the
+    # anti-join's probe side, and the per-doc line-count aggregate) — see
+    # operators/neardup.py::_pin for the re-execution trap
     lines = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
             "_pos", "_l"
         ),
-    )
+    ).persist()
+    # the df count and the anti-join key on md5_long(_l) — a fixed-width
+    # 60-bit long — instead of the raw line string, mirroring
+    # boilerplate_profile's gram-hash design: at corpus scale the shuffle
+    # carries 8-byte keys, not line-width text. The line STRING never
+    # shuffles for the count; it only rides the per-doc reassembly, whose
+    # key is the doc id.
+    lh = md5_long(F.col("_l"), 15)
     counts = (
         lines.where(F.length("_l") >= min_chars)
-        .select("_id", "_l")
+        .select("_id", lh.alias("_lh"))
         .distinct()
-        .groupBy("_l")
+        .groupBy("_lh")
         .agg(F.count(F.lit(1)).alias("_ndocs"))
         .where(F.col("_ndocs") >= min_docs)
-        .select("_l")
+        .select("_lh")
     )
-    kept = lines.join(counts, "_l", "left_anti")
+    kept = lines.withColumn("_lh", lh).join(counts, "_lh", "left_anti").drop("_lh")
     agg = (
         lines.groupBy("_id")
         .agg(F.count(F.lit(1)).alias("n_lines"))

@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from py_mongo_sync_spark.functions.similarity import char_shingles
 from py_mongo_sync_spark.operators.neardup import (
+    _pin,
     banded_signature_rows,
     capped_candidate_pairs,
     verify_pairs_jaccard,
@@ -58,9 +59,13 @@ from py_mongo_sync_spark.operators.neardup import (
 def _shingle_sets(
     df: DataFrame, id_col: str, text_col: str, k: int, ida: str, seta: str
 ) -> DataFrame:
+    # xxhash64 longs, not shingle strings — same rationale (and same
+    # negligible collision class) as neardup._candidate_shingle_sets
     return df.select(
         F.col(id_col).alias(ida),
-        F.array_distinct(char_shingles(text_col, k)).alias(seta),
+        F.array_distinct(
+            F.transform(char_shingles(text_col, k), lambda s: F.xxhash64(s))
+        ).alias(seta),
     )
 
 
@@ -90,38 +95,47 @@ def ingest_decisions(
     signs each batch exactly once and threads the frame through the bucket
     probe, the decisions, and the index delta, because those are SEPARATE
     Spark actions and ReuseExchange only dedups subtrees within one query.
+
+    The returned frame carries the persisted intermediates on
+    ``_cached_frames`` (band rows, candidate pairs, shingle sets — each
+    referenced several times in the plan, see neardup._pin); batch-loop
+    callers unpersist them after materializing.
     """
-    # The band frames are referenced multiple times below (self-join,
-    # size probe, candidate join); because everything lands in ONE query,
-    # Spark's ReuseExchange computes each identical signing subtree once —
-    # checkpoint/persist here measures SLOWER (forced sequential jobs +
-    # RDD round-trip beat nothing: the reuse was already free).
-    nb = (
+    # Every shared subtree below is pinned (neardup._pin): the band frames
+    # feed the size probe, the candidate join and the within-batch
+    # self-join, and (measured r5/r6) ReuseExchange does NOT collapse
+    # references whose exprIds were rewritten by alias dedup — each one
+    # re-ran the whole signing subtree.
+    holder: list = []
+    nb = _pin(
         new_bands
         if new_bands is not None
-        else banded_signature_rows(new_docs, id_col, text_col, n_hashes, bands, k)
+        else banded_signature_rows(new_docs, id_col, text_col, n_hashes, bands, k),
+        holder,
     )
-    sb = (
+    sb = _pin(
         seen_bands
         if seen_bands is not None
-        else banded_signature_rows(seen_docs, id_col, text_col, n_hashes, bands, k)
+        else banded_signature_rows(seen_docs, id_col, text_col, n_hashes, bands, k),
+        holder,
     )
 
     # --- candidates vs the index, mega-buckets capped to the representative
     sizes = sb.groupBy("band", "bkey").agg(
         F.count(F.lit(1)).alias("_n"), F.min("_id").alias("_rep")
     )
-    cand_seen = (
+    cand_seen = _pin(
         nb.join(sb.select(F.col("_id").alias("_sid"), "band", "bkey"),
                 ["band", "bkey"])
         .join(sizes, ["band", "bkey"])
         .where((F.col("_n") <= max_bucket) | (F.col("_sid") == F.col("_rep")))
         .select(F.col("_id").alias("nid"), F.col("_sid").alias("mid"))
-        .distinct()
+        .distinct(),
+        holder,
     )
 
     # --- candidates within the batch (doc_a < doc_b: lower id is "earlier")
-    batch_pairs, _ = capped_candidate_pairs(nb, max_bucket)
+    batch_pairs, _ = capped_candidate_pairs(nb, max_bucket, holder=holder)
 
     # --- exact-Jaccard verify, candidates only. Shingle the seen side
     # AFTER a semi-join to the matched ids so the verify cost is bounded by
@@ -131,12 +145,28 @@ def ingest_decisions(
         cand_seen.select(F.col("mid").alias(id_col)).distinct(),
         id_col, "left_semi",
     )
-    vs = (
-        cand_seen
-        .join(_shingle_sets(new_docs, id_col, text_col, k, "nid", "_ns"), "nid")
-        .join(_shingle_sets(seen_cand_docs, id_col, text_col, k, "mid", "_ms"),
-              "mid")
+    ns_sets = _pin(
+        _shingle_sets(new_docs, id_col, text_col, k, "nid", "_ns"), holder
     )
+    ms_sets = _pin(
+        _shingle_sets(seen_cand_docs, id_col, text_col, k, "mid", "_ms"),
+        holder,
+    )
+    # size-ratio prefilter — LOSSLESS for a Jaccard cut (J ≤ min/max, see
+    # neardup.verify_pairs_jaccard): drop pairs that cannot pass while
+    # they are still two longs per row, join the wide sets for survivors
+    nsz = ns_sets.select("nid", F.size("_ns").alias("_nn"))
+    msz = ms_sets.select("mid", F.size("_ms").alias("_nm"))
+    surv = (
+        cand_seen.join(nsz, "nid")
+        .join(msz, "mid")
+        .where(
+            F.least("_nn", "_nm") * 100
+            >= F.lit(threshold_pct) * F.greatest("_nn", "_nm")
+        )
+        .select("nid", "mid")
+    )
+    vs = surv.join(ns_sets, "nid").join(ms_sets, "mid")
     inter = F.size(F.array_intersect("_ns", "_ms"))
     union = F.size("_ns") + F.size("_ms") - inter
     seen_hits = (
@@ -144,7 +174,8 @@ def ingest_decisions(
         .select("nid", "mid")
     )
     batch_hits = verify_pairs_jaccard(
-        new_docs, batch_pairs, id_col, text_col, k, threshold_pct
+        new_docs, batch_pairs, id_col, text_col, k, threshold_pct,
+        holder=holder,
     ).select(F.col("doc_b").alias("nid"), F.col("doc_a").alias("mid"))
 
     hits = (
@@ -152,7 +183,7 @@ def ingest_decisions(
         .groupBy("nid")
         .agg(F.min("mid").alias("dup_of"), F.count(F.lit(1)).alias("n_matches"))
     )
-    return (
+    out = (
         new_docs.select(F.col(id_col).alias("doc_id"))
         .join(hits, F.col("doc_id") == hits["nid"], "left")
         .select(
@@ -162,6 +193,8 @@ def ingest_decisions(
             F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
         )
     )
+    out._cached_frames = holder  # for batch-loop unpersist (streaming/ingest.py)
+    return out
 
 
 def ingest_batch(

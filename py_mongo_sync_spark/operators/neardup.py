@@ -44,6 +44,23 @@ from py_mongo_sync_spark.functions.similarity import (
 SIGNING_CALLS = 0
 
 
+def _pin(df: DataFrame, holder: list | None) -> DataFrame:
+    """Persist a frame whose lineage is referenced MORE THAN ONCE inside the
+    enclosing query. Spark's ReuseExchange does NOT collapse self-references
+    after alias-dedup rewrites exprIds (measured r5, comment in
+    ``_candidate_shingle_sets``), so every extra reference re-executes the
+    whole subtree — persisting the skinny intermediate runs it once. The
+    cache fills lazily inside the same (timed) action that consumes it; no
+    cross-run state. ``holder`` collects the handles so batch-loop callers
+    (the streaming ingest pipeline) can unpersist after materializing —
+    bounded memory on an infinite stream; query-scope callers may pass None
+    (session-lifetime cache, LRU-evicted)."""
+    df = df.persist()
+    if holder is not None:
+        holder.append(df)
+    return df
+
+
 def banded_signature_rows(
     df: DataFrame, id_col: str, text_col: str,
     n_hashes: int = 16, bands: int = 8, k: int = 5,
@@ -72,7 +89,7 @@ def banded_signature_rows(
 
 
 def capped_candidate_pairs(
-    banded: DataFrame, max_bucket: int = 64
+    banded: DataFrame, max_bucket: int = 64, holder: list | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Candidate (doc_a < doc_b) pairs with the mega-bucket guard.
 
@@ -83,9 +100,15 @@ def capped_candidate_pairs(
     (rare) member that matches another member but not the representative
     is the documented recall trade for not emitting c² pairs.
 
+    ``banded`` is pinned (see ``_pin``): the size aggregate, the tag join
+    and the two legs of the self-join all reference it, and each reference
+    would otherwise re-run the whole shingle+md5 signing subtree (the
+    dominant cost — measured ~2× the query wall without the pin).
+
     Returns (pairs, bucket_stats) where bucket_stats has one row per
     OVERSIZED bucket: (band, bkey, n_docs) — count-them telemetry.
     """
+    banded = _pin(banded, holder)
     sizes = banded.groupBy("band", "bkey").agg(
         F.count(F.lit(1)).alias("_n"), F.min("_id").alias("_rep")
     )
@@ -121,7 +144,18 @@ def _candidate_shingle_sets(
     between a point lookup and a table scan. (Same shape as the ingest
     path, operators/ingest_dedup.py — measured ~15% there; the pairs
     lineage is referenced three times in one query, which ReuseExchange
-    computes once.)"""
+    computes once.)
+
+    Sets are xxhash64 LONGS, not shingle strings (guide §2.3 "narrower
+    types"): |A∩B| / |A∪B| over hashed sets equals the string-set value
+    modulo 64-bit collisions (≲ 800²/2⁶⁵ ≈ 2·10⁻¹⁴ per pair — the same
+    accepted collision class as boilerplate_profile's gram hashing),
+    while each cached/joined set shrinks ~3× and the per-pair
+    array_intersect compares 8-byte longs instead of hashing strings.
+    The hash is INTERNAL (only inter/union/size counts survive to the
+    output), so no oracle mirroring is needed and the cheapest 64-bit
+    hash wins over md5's hex+conv pipeline. Verified row-identical
+    against the string-set DuckDB oracle at sf0.001/0.01/0.1."""
     # both endpoints in ONE pass over pairs: the union-of-two-selects form
     # references the pairs lineage twice, and (measured) ReuseExchange does
     # NOT collapse self-references whose alias-dedup rewrote the exprIds —
@@ -131,21 +165,55 @@ def _candidate_shingle_sets(
     ).distinct()
     return df.join(ids, id_col, "left_semi").select(
         F.col(id_col).alias("_sid"),
-        F.array_distinct(char_shingles(text_col, k)).alias("_set"),
+        F.array_distinct(
+            F.transform(char_shingles(text_col, k), lambda s: F.xxhash64(s))
+        ).alias("_set"),
     )
 
 
 def verify_pairs_jaccard(
     df: DataFrame, pairs: DataFrame, id_col: str, text_col: str,
-    k: int = 5, threshold_pct: int = 80,
+    k: int = 5, threshold_pct: int = 80, holder: list | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard on candidates ONLY (never all-pairs).
     Keep iff |A∩B| * 100 ≥ threshold_pct * |A∪B| — integer cross-multiply,
-    so Spark and any SQL oracle cut at exactly the same pairs."""
-    sets_df = _candidate_shingle_sets(df, pairs, id_col, text_col, k)
+    so Spark and any SQL oracle cut at exactly the same pairs.
+
+    ``pairs`` is referenced four times in this query (endpoint-id
+    extraction inside the sets subtree, the verify join, and once via each
+    renamed sets leg) and ``sets_df`` twice (the doc_a and doc_b joins);
+    both are pinned so the candidate generator and the candidate shingle
+    explode each execute exactly once (r5 regression: the unpinned form
+    re-ran the generator per reference — +15-42% on the three verify-family
+    queries)."""
+    pairs = _pin(pairs, holder)
+    sets_df = _pin(
+        _candidate_shingle_sets(df, pairs, id_col, text_col, k), holder
+    )
+    # Size-ratio prefilter — LOSSLESS: |A∩B| ≤ min(|A|,|B|) and
+    # |A∪B| ≥ max(|A|,|B|), so J(A,B) ≤ min/max; a pair with
+    # min·100 < threshold·max can NEVER pass the exact cut below, and is
+    # dropped before its (wide) shingle sets are ever joined. On a
+    # dup-dense corpus the banded candidates include many cross-group
+    # bucket collisions of very different lengths — at sf1.0 this filter
+    # kills ~60% of 31M decontamination candidates for the price of two
+    # joins against a per-doc INT table (the guide §8 rule: decide with
+    # small rows, move the heavy arrays only for survivors).
+    sizes = sets_df.select("_sid", F.size("_set").alias("_n"))
+    surv = (
+        pairs.join(sizes.withColumnRenamed("_sid", "doc_a")
+                   .withColumnRenamed("_n", "_na"), "doc_a")
+        .join(sizes.withColumnRenamed("_sid", "doc_b")
+              .withColumnRenamed("_n", "_nb"), "doc_b")
+        .where(
+            F.least("_na", "_nb") * 100
+            >= F.lit(threshold_pct) * F.greatest("_na", "_nb")
+        )
+        .select("doc_a", "doc_b")
+    )
     j = (
-        pairs.join(sets_df.withColumnRenamed("_sid", "doc_a")
-                   .withColumnRenamed("_set", "_sa"), "doc_a")
+        surv.join(sets_df.withColumnRenamed("_sid", "doc_a")
+                  .withColumnRenamed("_set", "_sa"), "doc_a")
         .join(sets_df.withColumnRenamed("_sid", "doc_b")
               .withColumnRenamed("_set", "_sb"), "doc_b")
     )
@@ -159,7 +227,7 @@ def verify_pairs_jaccard(
 
 def verify_pairs_containment(
     df: DataFrame, pairs: DataFrame, id_col: str, text_col: str,
-    k: int = 5, threshold_pct: int = 90,
+    k: int = 5, threshold_pct: int = 90, holder: list | None = None,
 ) -> DataFrame:
     """Exact CONTAINMENT on candidates: keep iff |A∩B| * 100 ≥
     threshold_pct * min(|A|,|B|) — the quoted-reply detector. A short
@@ -178,8 +246,14 @@ def verify_pairs_containment(
     correctly where Jaccard would not. The containment-complete candidate
     generator is :func:`rare_shingle_candidate_pairs` below — union its
     output with the banded pairs before this verify.
+
+    ``pairs``/``sets_df`` pinning: same rationale as
+    :func:`verify_pairs_jaccard`.
     """
-    sets_df = _candidate_shingle_sets(df, pairs, id_col, text_col, k)
+    pairs = _pin(pairs, holder)
+    sets_df = _pin(
+        _candidate_shingle_sets(df, pairs, id_col, text_col, k), holder
+    )
     j = (
         pairs.join(sets_df.withColumnRenamed("_sid", "doc_a")
                    .withColumnRenamed("_set", "_sa"), "doc_a")
@@ -197,7 +271,7 @@ def verify_pairs_containment(
 def rare_shingle_candidate_pairs(
     df: DataFrame, id_col: str, text_col: str,
     k: int = 5, n_rare: int = 4, max_df: int = 64,
-    with_stats: bool = False,
+    with_stats: bool = False, holder: list | None = None,
 ):
     """Containment-COMPLETE candidate pairs via a rare-shingle inverted
     index — the recall complement to MinHash banding for extreme size
@@ -227,13 +301,21 @@ def rare_shingle_candidate_pairs(
     """
     from py_mongo_sync_spark.functions.similarity import md5_long
 
-    # distinct (doc, h): h = 32-bit md5 of the char k-gram
-    dsh = df.select(
-        F.col(id_col).alias("_did"),
-        F.explode(F.array_distinct(char_shingles(text_col, k))).alias("_s"),
-    ).select("_did", md5_long(F.col("_s"), 8).alias("h")).distinct()
+    # distinct (doc, h): h = 32-bit md5 of the char k-gram. Pinned: both
+    # the doc-frequency aggregate and the df-cap join consume it, and the
+    # unpinned form re-runs the shingle explode + md5 per reference (the
+    # exprId/ReuseExchange trap, see _pin).
+    dsh = _pin(
+        df.select(
+            F.col(id_col).alias("_did"),
+            F.explode(F.array_distinct(char_shingles(text_col, k))).alias("_s"),
+        ).select("_did", md5_long(F.col("_s"), 8).alias("h")).distinct(),
+        holder,
+    )
     dfreq = dsh.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
-    kept = dsh.join(dfreq.where(F.col("_df") <= max_df), "h")
+    # pinned: the per-doc rare-shingle window AND the posting-list side both
+    # scan it
+    kept = _pin(dsh.join(dfreq.where(F.col("_df") <= max_df), "h"), holder)
     # per-doc n_rare rarest shingles; (df, h) is a total order on a doc's
     # distinct hashes, so the pick is deterministic on any engine
     rare = (

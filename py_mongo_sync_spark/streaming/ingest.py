@@ -151,6 +151,11 @@ class NeardupIngestPipeline:
         finally:
             decisions.unpersist()
             new_bands.unpersist()
+            # the dedup operators pin their multiply-referenced
+            # intermediates (neardup._pin); release them per batch so an
+            # infinite stream's cache footprint stays O(one batch)
+            for h in getattr(decisions, "_cached_frames", []):
+                h.unpersist()
         out = {"batch_id": batch_id, "n_new": n_new,
                "n_dup": n_dup, "n_novel": n_new - n_dup}
         self.stats.append(out)

@@ -680,16 +680,27 @@ class LakeTable:
             if c not in tgt.columns:
                 tgt = tgt.withColumn(c, F.lit(None).cast(schema[c].dataType))
 
-        # --- the MERGE itself: one full-outer equi-join on the key (Catalyst
-        # picks the physical join; both sides are hash-distributed on the
-        # same key so AQE can plan it well), then pure column expressions.
+        # --- the MERGE itself: one full-outer equi-join on the key, then
+        # pure column expressions. The source side carries an explicit
+        # shuffle_hash hint (guide §3.1): a microbatch plan runs without AQE
+        # and Catalyst's size estimate for the UDF+fold subtree is unusable,
+        # so the planner would default to SortMergeJoin and sort BOTH the
+        # table and the batch on every merge. The build side is the folded
+        # batch — bounded by batch size over the shuffle partitions, never
+        # by table size — so the hash map is safe at any table scale, and
+        # SHJ's output partitioning on the join key keeps the bucket-aligned
+        # write (measured: join+write 4.59 → 4.22 s floor on a 1M-event
+        # batch into a 2M-row table, interleaved best-of-4).
         t = tgt.alias("t")
         s = src.alias("s")
         # plain equality (keys are non-null by construction): `<=>` would
         # wrap the keys and break reuse of the fold's hash partitioning AND
         # the bucket-aligned write (verified: eqNullSafe doubled the files
         # per bucket).
-        joined = t.join(s, on=[t[c] == s[c] for c in key_cols], how="full_outer")
+        joined = t.join(
+            s.hint("shuffle_hash"),
+            on=[t[c] == s[c] for c in key_cols], how="full_outer",
+        )
 
         s_key = F.col(f"s.{key_cols[0]}")
         t_key = F.col(f"t.{key_cols[0]}")

@@ -404,12 +404,18 @@ class CdcPipeline:
         n_events = sum(r["n"] for r in op_stats.values())
         cand = self._evolution_candidates()
 
-        # (c) MERGE hints: for small batches (or while schema candidates need
-        # probing) run the key-probe doc scan — bucket pruning pays for
-        # itself; for large homogeneous batches every bucket changes anyway,
-        # so skip the pre-parse entirely.
+        # (c) MERGE hints: for small batches run the key-probe doc scan —
+        # bucket pruning pays for itself; for large homogeneous batches
+        # every bucket changes anyway, so skip the pre-parse entirely. When
+        # a large batch still needs schema-candidate detection (cand), the
+        # raw-doc json_tuple probe scan is skipped too: the MERGE's own
+        # hint-free path persists the parsed+folded source and derives the
+        # changed-bucket set and evolved columns from THAT (exact by
+        # construction) — one cheap aggregate over the cached fold instead
+        # of a second JSON decode of every raw doc (measured ~1 s of the
+        # conversation_rollup replay at sf0.1, ~3 s at sf1.0).
         big = n_data >= self.cfg.n_buckets * self.cfg.probe_skip_factor
-        if cand or not big:
+        if not big:
             probe = self._batch_probe(events)
         else:
             commands = []
@@ -450,6 +456,11 @@ class CdcPipeline:
                         & F.col("doc").rlike(UNSUPPORTED_OPS_RE)
                     ).count()
                 )
+            if cand:
+                # evolution candidates outstanding: hand the MERGE no bucket
+                # hints so its persisted-source probe detects evolved
+                # columns (and the true changed set) from the parsed fold
+                probe["buckets"] = None
         t_pstats = time.monotonic() - t0
 
         # rename_table commands in THIS batch: accept events under both the

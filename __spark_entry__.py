@@ -773,8 +773,9 @@ def q_rare_shingle_containment(spark, sf):
     rare-shingle candidates feed the exact containment verify — the
     production composition for quoted-content dedup."""
     from py_mongo_sync_spark.operators.neardup import (
-        banded_signature_rows,
+        banded_rows_from_hashes,
         capped_candidate_pairs,
+        doc_shingle_hashes,
         rare_shingle_candidate_pairs,
         verify_pairs_containment,
     )
@@ -787,10 +788,16 @@ def q_rare_shingle_containment(spark, sf):
         F.expr("substr(text, 11, 200)").alias("text"),
     )
     corpus = d.unionByName(frags)
-    banded = banded_signature_rows(corpus, "doc_id", "text")
+    # ONE pinned shingle+md5 pass feeds BOTH candidate generators: the
+    # banding signature is bit-identical derived from the distinct hash
+    # set (min over a set ≡ min over the multiset), so the second corpus
+    # explode+md5 the old two-generator form paid disappears
+    dsh = doc_shingle_hashes(corpus, "doc_id", "text", k=5)
+    banded = banded_rows_from_hashes(dsh)
     band_pairs, _ = capped_candidate_pairs(banded, max_bucket=64)
     rare = rare_shingle_candidate_pairs(corpus, "doc_id", "text",
-                                        k=5, n_rare=4, max_df=64)
+                                        k=5, n_rare=4, max_df=64,
+                                        doc_hashes=dsh)
     # persist the skinny pair list: verify references it twice (endpoint
     # ids + the verify join) and ReuseExchange does NOT collapse
     # self-references after alias-dedup rewrites exprIds — without the

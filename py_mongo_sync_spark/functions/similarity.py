@@ -200,6 +200,26 @@ def minhash_signatures_md5(
     return sh.groupBy("_id").agg(*aggs)
 
 
+def minhash_signatures_from_hashes(
+    dsh: DataFrame, id_col: str = "_id", hash_col: str = "h",
+    n_hashes: int = 16,
+) -> DataFrame:
+    """Oracle-parity MinHash signatures from pre-hashed ``(doc, h)`` rows —
+    the sharing form of :func:`minhash_signatures_md5` for callers that
+    already hold the per-doc 32-bit shingle-hash set (e.g. the rare-shingle
+    inverted index). min over each affine family member is identical on the
+    multiset and on the distinct set (duplicates never change a min), so
+    the signatures are bit-for-bit those of the explode path — verified
+    against :func:`minhash_signatures_md5` on the full corpus. Saves one
+    entire shingle-explode + md5 pass when a query needs both the banding
+    and the shingle-hash index (guide §1.2 step 1: don't compute twice)."""
+    aggs = []
+    for i in range(n_hashes):
+        a, b = minhash_affine_params(i)
+        aggs.append(F.min(_affine_mod(F.col(hash_col), a, b)).alias(f"m{i}"))
+    return dsh.groupBy(F.col(id_col).alias("_id")).agg(*aggs)
+
+
 def minhash_candidate_pairs_md5(
     df: DataFrame,
     id_col: str,

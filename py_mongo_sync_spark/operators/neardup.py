@@ -88,6 +88,58 @@ def banded_signature_rows(
     ).select("_id", "bb.band", "bb.bkey")
 
 
+def doc_shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5,
+    holder: list | None = None,
+) -> DataFrame:
+    """Pinned distinct ``(_did, h)`` rows — h = 32-bit md5 of each char
+    k-gram (the rare-shingle index domain). Built ONCE and shared: the
+    MinHash banding signature derives from it bit-identically
+    (functions/similarity.py::minhash_signatures_from_hashes), so a query
+    needing both candidate generators pays one shingle+md5 pass instead of
+    two (measured ~1.8 s of rare_shingle_containment at the 10× corpus)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return _pin(
+        df.repartition(par, id_col).select(
+            F.col(id_col).alias("_did"),
+            F.explode(F.array_distinct(char_shingles(text_col, k))).alias("_s"),
+        ).select("_did", md5_long(F.col("_s"), 8).alias("h")).distinct(),
+        holder,
+    )
+
+
+def banded_rows_from_hashes(
+    dsh: DataFrame, n_hashes: int = 16, bands: int = 8
+) -> DataFrame:
+    """(_id, band, bkey) band rows from a pre-built :func:`doc_shingle_hashes`
+    frame — same output as :func:`banded_signature_rows` (min over the
+    distinct hash set ≡ min over the shingle multiset), one corpus pass
+    cheaper when the hash frame already exists."""
+    from py_mongo_sync_spark.functions.similarity import (
+        minhash_signatures_from_hashes,
+    )
+
+    global SIGNING_CALLS
+    SIGNING_CALLS += 1
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures_from_hashes(dsh, "_did", "h", n_hashes)
+    return sig.select(
+        "_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(",", *[
+                        F.col(f"m{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ]).alias("bkey"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bkey")
+
+
 def capped_candidate_pairs(
     banded: DataFrame, max_bucket: int = 64, holder: list | None = None
 ) -> tuple[DataFrame, DataFrame]:
@@ -272,6 +324,7 @@ def rare_shingle_candidate_pairs(
     df: DataFrame, id_col: str, text_col: str,
     k: int = 5, n_rare: int = 4, max_df: int = 64,
     with_stats: bool = False, holder: list | None = None,
+    doc_hashes: DataFrame | None = None,
 ):
     """Containment-COMPLETE candidate pairs via a rare-shingle inverted
     index — the recall complement to MinHash banding for extreme size
@@ -299,18 +352,16 @@ def rare_shingle_candidate_pairs(
     Returns pairs (doc_a < doc_b) — or (pairs, overflow_stats) when
     ``with_stats``: one row per dropped shingle hash (h, df).
     """
-    from py_mongo_sync_spark.functions.similarity import md5_long
-
     # distinct (doc, h): h = 32-bit md5 of the char k-gram. Pinned: both
     # the doc-frequency aggregate and the df-cap join consume it, and the
     # unpinned form re-runs the shingle explode + md5 per reference (the
-    # exprId/ReuseExchange trap, see _pin).
-    dsh = _pin(
-        df.select(
-            F.col(id_col).alias("_did"),
-            F.explode(F.array_distinct(char_shingles(text_col, k))).alias("_s"),
-        ).select("_did", md5_long(F.col("_s"), 8).alias("h")).distinct(),
-        holder,
+    # exprId/ReuseExchange trap, see _pin). ``doc_hashes`` lets a caller
+    # that also needs the banding share ONE pinned frame for both
+    # generators (see doc_shingle_hashes).
+    dsh = (
+        doc_hashes
+        if doc_hashes is not None
+        else doc_shingle_hashes(df, id_col, text_col, k, holder)
     )
     dfreq = dsh.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
     # pinned: the per-doc rare-shingle window AND the posting-list side both

@@ -39,7 +39,10 @@ from py_mongo_sync_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = "/tmp/bench_scale"
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
-QUERIES = ["minhash_neardup", "neardup_ingest"]
+# r6: extended with the round-5 additions whose linearity claims needed a
+# measured point (VERDICT r5 item 7)
+QUERIES = ["minhash_neardup", "neardup_ingest",
+           "rare_shingle_containment", "boilerplate_removal"]
 ATTEMPTS = 2
 
 
@@ -78,11 +81,12 @@ def time_query(spark, qs, name, sf_dir):
 
 
 def main():
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_scale_r05.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_scale_r06.json"
     spark = get_spark("bench-scale")
     try:
         d1, d10 = build_corpora(spark)
-        qs = entrymod.queries()
+        qs = dict(entrymod.queries())
+        qs.update(entrymod.extra_queries())
         result = {"sf_base": SF_DIR, "factor": 10, "queries": {}}
         for name in QUERIES:
             t1 = time_query(spark, qs, name, d1)
